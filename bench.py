@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Benchmark: full-train-step throughput on one chip, KITTI-shaped data.
+
+Prints ONE JSON line:
+  {"metric": "scan_pairs_per_sec_per_chip", "value": N, "unit": "pairs/s",
+   "vs_baseline": R}
+
+The measured program is the complete hot path — projection (scatter-min
+dedup), model forward (circular ResNet), quaternion->SE(3), source warp,
+projective correspondence, masked ICP losses, backward, Adam — as one jitted
+XLA program, i.e. exactly what `delora train` executes per step.
+
+vs_baseline: the reference (leggedrobotics/delora) publishes no training
+throughput (BASELINE.md); its hot loop is batch-size-1 with >=4 host<->device
+round trips per sample (reference src/deploy/deployer.py:237-375,
+SURVEY.md §3.1). 10 scan-pairs/s is a generous single-GPU estimate for it
+(~100 ms/step incl. KD-tree builds); vs_baseline = value / 10.
+
+Timing notes: dispatch is async (block_until_ready through the axon relay
+does not block), so the clock is bracketed by *readbacks*: sync, run K steps,
+sync again. Extra diagnostics (per-step latency, inference p50) go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def sync(x):
+    """Force real device completion (readback a scalar)."""
+    return float(jnp.sum(x))
+
+
+def main():
+    from delora_tpu.losses.icp import IcpLossConfig
+    from delora_tpu.models.odometry import ModelConfig, OdometryModel
+    from delora_tpu.ops.projection import ProjectionSpec
+    from delora_tpu.training.state import create_train_state
+    from delora_tpu.training.step import ScanPairBatch, StepConfig, make_train_step
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    H, W = 64, 720
+    N = 131072          # KITTI max_points (config datasets.yaml)
+    VALID = 110000      # typical surviving points per preprocessed KITTI scan
+
+    log(f"devices: {jax.devices()}")
+    log(f"bench config: B={B} H={H} W={W} N={N} valid={VALID}")
+
+    model = OdometryModel(ModelConfig(compute_dtype=jnp.bfloat16))
+    state = create_train_state(
+        model, {"learning_rate": 1e-5}, jnp.zeros((B, H, W, 4))
+    )
+
+    pspec = ProjectionSpec(
+        height=H, width=W,
+        fov_down=float(np.deg2rad(-24.5)), fov_up=float(np.deg2rad(2.0)),
+        fov_left=float(np.deg2rad(-179.9)), fov_right=float(np.deg2rad(179.9)),
+    )
+    cfg = StepConfig(proj=pspec, icp=IcpLossConfig())
+    step = make_train_step(model, cfg, donate=True)
+
+    rng = np.random.default_rng(0)
+
+    def scan():
+        pts = rng.normal(size=(B, N, 3)).astype(np.float32)
+        pts *= np.array([12.0, 12.0, 1.0], np.float32)
+        pts[..., 2] -= 1.6
+        valid = np.zeros((B, N), bool)
+        valid[:, :VALID] = True
+        nrm = rng.normal(size=(B, N, 3)).astype(np.float32)
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+        nrm[~valid] = 0.0
+        return pts, nrm, valid
+
+    p1, n1, v1 = scan()
+    p2, n2, v2 = scan()
+    batch = ScanPairBatch(
+        points_1=jnp.asarray(p1), normals_1=jnp.asarray(n1), valid_1=jnp.asarray(v1),
+        points_2=jnp.asarray(p2), normals_2=jnp.asarray(n2), valid_2=jnp.asarray(v2),
+    )
+
+    # Warmup: compile + 2 steps, then hard sync.
+    t0 = time.time()
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    sync(metrics["loss"])
+    log(f"compile+warmup: {time.time() - t0:.1f}s; loss={float(metrics['loss']):.5f}")
+
+    # Timed region: K steps bracketed by readbacks.
+    K = 30
+    sync(metrics["loss"])
+    t0 = time.time()
+    for k in range(K):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + k))
+    sync(metrics["loss"])
+    elapsed = time.time() - t0
+    pairs_per_sec = K * B / elapsed
+    log(f"{K} steps x {B} pairs in {elapsed:.2f}s -> "
+        f"{pairs_per_sec:.2f} pairs/s ({elapsed / K * 1000:.1f} ms/step)")
+
+    # Diagnostic: single-scan inference latency (10 Hz budget check).
+    from delora_tpu.training.step import make_infer_step
+
+    infer = make_infer_step(model, cfg)
+    b1 = jax.tree.map(lambda x: x[:1], batch)
+    T = infer(state.params, b1)
+    sync(T)
+    lat = []
+    for _ in range(20):
+        t0 = time.time()
+        T = infer(state.params, b1)
+        sync(T)
+        lat.append(time.time() - t0)
+    p50 = float(np.percentile(lat, 50) * 1000)
+    log(f"single-pair inference p50: {p50:.1f} ms (budget 100 ms)")
+
+    print(json.dumps({
+        "metric": "scan_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

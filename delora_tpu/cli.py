@@ -1,0 +1,145 @@
+"""Command-line entry points: ``delora train|test|preprocess|bench|serve``.
+
+Replaces the reference's bin/ scripts (reference bin/run_training.py,
+run_testing.py, preprocess_data.py, run_rosnode.py) with one argparse CLI.
+Config behavior parity:
+  * three-YAML merge with CLI overrides (run_training.py:22-29),
+  * on resume/test, the config embedded in the checkpoint is rehydrated and
+    re-overridden with device/dataset/identifier flags (run_training.py:47-55,
+    run_testing.py:41-53),
+  * mode-dependent identifier mapping (training vs testing vs preprocessing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Any, Dict, Optional
+
+from delora_tpu.config import load_config
+
+
+def _common_flags(p: argparse.ArgumentParser):
+    p.add_argument("--config", nargs="*", default=None,
+                   help="YAML config files (default: packaged stack)")
+    p.add_argument("--set", dest="overrides", nargs="*", default=[],
+                   metavar="KEY=VALUE",
+                   help="Config overrides, e.g. --set batch_size=64 datasets='[\"kitti\"]'")
+    p.add_argument("--checkpoint", default=None)
+
+
+def _parse_overrides(pairs) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for pair in pairs:
+        key, _, value = pair.partition("=")
+        try:
+            out[key] = json.loads(value)
+        except json.JSONDecodeError:
+            out[key] = value
+    return out
+
+
+def _build_config(args, mode: str) -> Dict[str, Any]:
+    overrides = _parse_overrides(args.overrides)
+    if args.checkpoint:
+        overrides["checkpoint"] = args.checkpoint
+        # Rehydrate config embedded in the checkpoint (run_training.py:47-55).
+        from delora_tpu.training.checkpoint import CheckpointManager
+
+        embedded = CheckpointManager.embedded_config(args.checkpoint)
+        if embedded:
+            merged = dict(embedded)
+            merged.update(overrides)
+            merged["_fov_in_radians"] = embedded.get("_fov_in_radians", False)
+            overrides = merged
+    return load_config(overrides=overrides, config_files=args.config, mode=mode)
+
+
+def cmd_train(args):
+    config = _build_config(args, "training")
+    config.setdefault("training_run_name", args.run_name or "run")
+    from delora_tpu.parallel.mesh import initialize_multihost, make_mesh
+    from delora_tpu.training.trainer import Trainer
+
+    initialize_multihost()
+    mesh = None
+    import jax
+
+    if len(jax.devices()) > 1:
+        mesh = make_mesh()
+    trainer = Trainer(config, mesh=mesh, run_name=args.run_name)
+    trainer.train(max_epochs=args.epochs)
+
+
+def cmd_test(args):
+    config = _build_config(args, "testing")
+    config["inference_only"] = True
+    from delora_tpu.training.tester import Tester
+
+    tester = Tester(config, run_name=args.run_name)
+    results = tester.test()
+    print(json.dumps({d: {str(s): m for s, m in v.items()}
+                      for d, v in results.items()}, indent=2))
+
+
+def cmd_preprocess(args):
+    config = _build_config(args, "preprocessing")
+    from delora_tpu.data.preprocess import Preprocessor
+
+    pre = Preprocessor(config)
+    for dataset in config["datasets"]:
+        n = pre.run_dataset(dataset, max_scans=args.max_scans)
+        print(f"[preprocess] {dataset}: {n} scans written")
+
+
+def cmd_bench(args):
+    import subprocess
+
+    sys.exit(subprocess.call([sys.executable, "bench.py"] + (args.bench_args or [])))
+
+
+def cmd_serve(args):
+    config = _build_config(args, "testing")
+    from delora_tpu.serving.stream import StreamingOdometry
+
+    engine = StreamingOdometry(config, checkpoint=args.checkpoint,
+                               dataset=args.dataset)
+    engine.serve_stdin()
+
+
+def main(argv: Optional[list] = None):
+    parser = argparse.ArgumentParser(prog="delora")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train", help="self-supervised training")
+    _common_flags(p)
+    p.add_argument("--run-name", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("test", help="sequential evaluation -> trajectories")
+    _common_flags(p)
+    p.add_argument("--run-name", default=None)
+    p.set_defaults(fn=cmd_test)
+
+    p = sub.add_parser("preprocess", help="raw scans -> dedup points + normals")
+    _common_flags(p)
+    p.add_argument("--max-scans", type=int, default=None)
+    p.set_defaults(fn=cmd_preprocess)
+
+    p = sub.add_parser("bench", help="run the benchmark suite")
+    p.add_argument("bench_args", nargs="*")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("serve", help="streaming odometry (10 Hz budget)")
+    _common_flags(p)
+    p.add_argument("--dataset", default="kitti")
+    p.set_defaults(fn=cmd_serve)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

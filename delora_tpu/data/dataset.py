@@ -1,0 +1,183 @@
+"""Training-time dataset: consecutive scan-pair loader over preprocessed data.
+
+Re-design of the reference dataset (reference src/data/dataset.py): same
+dataset -> sequence -> scan hierarchy, same ``len(sequence) - 1`` consecutive
+pairing that never crosses a sequence boundary (dataset.py:57,124-154), but
+ragged per-scan arrays become fixed-shape padded ``[N, 3]`` + masks so batches
+feed a single compiled program, and the loader does per-host sharding for
+multi-host training (a new capability — the reference is single-process).
+
+RAM caching (the reference's ``store_dataset_in_RAM``, dataset.py:82-112) is
+the default: padded per-host shards are small.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from delora_tpu.training.step import ScanPairBatch
+
+
+class ScanPairDataset:
+    """Index over consecutive scan pairs of one dataset's sequences."""
+
+    def __init__(self, config, dataset: str, *, cache_in_ram: Optional[bool] = None):
+        self.config = config
+        self.dataset = dataset
+        spec = config[dataset]
+        self.max_points = int(spec["max_points"])
+        self.cache_in_ram = (
+            bool(config.get("store_dataset_in_RAM", True))
+            if cache_in_ram is None
+            else cache_in_ram
+        )
+
+        self.scan_files: List[List[str]] = []
+        self.normal_files: List[List[str]] = []
+        self.sequence_ids: List[int] = list(spec["data_identifiers"])
+        for seq in self.sequence_ids:
+            base = os.path.join(spec["preprocessed_path"], format(seq, "02d"))
+            scans = sorted(glob.glob(os.path.join(base, "scans", "*.npy")))
+            normals = sorted(glob.glob(os.path.join(base, "normals", "*.npy")))
+            if not scans:
+                raise FileNotFoundError(f"No preprocessed scans under {base}")
+            if len(scans) != len(normals):
+                raise ValueError(f"scans/normals count mismatch under {base}")
+            self.scan_files.append(scans)
+            self.normal_files.append(normals)
+
+        # (sequence_index, scan_index) per pair; never crosses sequences.
+        self.pairs: List[Tuple[int, int]] = []
+        for si, scans in enumerate(self.scan_files):
+            self.pairs.extend((si, k) for k in range(len(scans) - 1))
+
+        self._cache: Dict[Tuple[int, int], Tuple[np.ndarray, ...]] = {}
+        if self.cache_in_ram:
+            for si, scans in enumerate(self.scan_files):
+                for k in range(len(scans)):
+                    self._cache[(si, k)] = self._load_padded(si, k)
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def _load_padded(self, seq_index: int, scan_index: int):
+        scan = np.load(self.scan_files[seq_index][scan_index]).astype(np.float32)
+        normals = np.load(self.normal_files[seq_index][scan_index]).astype(np.float32)
+        n = min(len(scan), self.max_points)
+        pts = np.zeros((self.max_points, 3), dtype=np.float32)
+        nrm = np.zeros((self.max_points, 3), dtype=np.float32)
+        msk = np.zeros(self.max_points, dtype=bool)
+        pts[:n] = scan[:n]
+        nrm[:n] = normals[:n]
+        msk[:n] = True
+        return pts, nrm, msk
+
+    def _get_scan(self, seq_index: int, scan_index: int):
+        key = (seq_index, scan_index)
+        if key in self._cache:
+            return self._cache[key]
+        return self._load_padded(seq_index, scan_index)
+
+    def get_pair(self, index: int):
+        """-> dict with padded arrays and (sequence_index, scan_index) meta."""
+        si, k = self.pairs[index]
+        p1, n1, m1 = self._get_scan(si, k)
+        p2, n2, m2 = self._get_scan(si, k + 1)
+        return {
+            "points_1": p1, "normals_1": n1, "valid_1": m1,
+            "points_2": p2, "normals_2": n2, "valid_2": m2,
+            "sequence_index": si, "scan_index": k,
+        }
+
+    def make_batch(self, indices) -> ScanPairBatch:
+        items = [self.get_pair(int(i)) for i in indices]
+        stack = lambda key: np.stack([it[key] for it in items])
+        return ScanPairBatch(
+            points_1=stack("points_1"), normals_1=stack("normals_1"),
+            valid_1=stack("valid_1"), points_2=stack("points_2"),
+            normals_2=stack("normals_2"), valid_2=stack("valid_2"),
+        )
+
+
+class BatchLoader:
+    """Shuffling, epoch-based batch iterator with background prefetch.
+
+    Per-host sharding: with ``num_shards > 1`` (multi-host), each host sees a
+    disjoint strided slice of every epoch's permutation, so the global batch
+    is the union of per-host batches (assembled on device by
+    ``jax.make_array_from_process_local_data`` in the pjit runtime).
+    """
+
+    def __init__(
+        self,
+        dataset: ScanPairDataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        prefetch: int = 2,
+    ):
+        if batch_size % num_shards != 0:
+            raise ValueError("batch_size must divide evenly across hosts")
+        self.dataset = dataset
+        self.global_batch = batch_size
+        self.local_batch = batch_size // num_shards
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.prefetch = prefetch
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            perm = rng.permutation(n)
+        else:
+            perm = np.arange(n)
+        usable = (n // self.global_batch) * self.global_batch
+        if usable == 0 and not self.drop_last:
+            usable = n
+        perm = perm[:usable]
+        # Strided host shard: host h takes positions h, h+S, h+2S, ...
+        return perm[self.shard_index::self.num_shards]
+
+    def steps_per_epoch(self) -> int:
+        return len(self.dataset) // self.global_batch
+
+    def epoch(self, epoch: int) -> Iterator[ScanPairBatch]:
+        indices = self.epoch_indices(epoch)
+        n_batches = len(indices) // self.local_batch
+        if n_batches == 0:
+            return iter(())
+
+        def producer(q: "queue.Queue"):
+            try:
+                for b in range(n_batches):
+                    sel = indices[b * self.local_batch:(b + 1) * self.local_batch]
+                    q.put(self.dataset.make_batch(sel))
+            finally:
+                q.put(None)
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
+        t = threading.Thread(target=producer, args=(q,), daemon=True)
+        t.start()
+
+        def gen():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+
+        return gen()

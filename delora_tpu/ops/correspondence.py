@@ -1,0 +1,147 @@
+"""On-device nearest-neighbor correspondence search.
+
+TPU-native replacement for the reference's per-sample host-side scipy
+``cKDTree`` build + query (reference src/losses/icp_losses.py:34, :24-26) —
+the dominant GPU<->CPU round trip in the reference's training step. Two
+interchangeable searchers, both batched and jittable; correspondence indices
+are non-differentiated, matching the reference's ``detach()`` of KD indices
+(icp_losses.py:64-67):
+
+* ``projective_correspondence`` (default): project each transformed source
+  point into the target's range image and take the best target point within a
+  small pixel window — O(N * window), pure gathers, the standard projective
+  data-association ICP variant. Window search compensates discretization.
+
+* ``brute_force_correspondence``: exact nearest neighbor by tiled distance
+  computation (XLA path here; a Pallas MXU-tiled kernel backs the hot path in
+  :mod:`delora_tpu.ops.pallas.nn_search`). Used for parity validation and
+  available via config ``correspondence: brute``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from delora_tpu.ops.projection import ProjectionSpec, compute_uv
+
+
+class Correspondence(NamedTuple):
+    """Per-source-point match against the target scan.
+
+    target_points:  [S, 3] matched target point (zeros if invalid)
+    target_normals: [S, 3] matched target normal (zeros = no normal)
+    valid:          [S] bool — a target point was found
+    sq_dist:        [S] squared distance to the match (inf if invalid)
+    """
+
+    target_points: jnp.ndarray
+    target_normals: jnp.ndarray
+    valid: jnp.ndarray
+    sq_dist: jnp.ndarray
+
+
+def projective_correspondence(
+    source_points: jnp.ndarray,          # [S, 3] transformed source points
+    source_valid: jnp.ndarray,           # [S] bool
+    target_image: jnp.ndarray,           # [H, W, >=3] projected target (xyz...)
+    target_normal_image: jnp.ndarray,    # [H, W, 3] per-pixel target normals
+    spec: ProjectionSpec,
+    window: Tuple[int, int] = (5, 9),
+) -> Correspondence:
+    """Projective data association with a (wv x wu) window search.
+
+    Azimuth (u) wraps around — the sensor is 360 degrees — while elevation (v)
+    clamps, mirroring the projection FoV semantics.
+    """
+    H, W = spec.height, spec.width
+    wv, wu = window
+    a, b = wv // 2, wu // 2
+
+    u, v = compute_uv(source_points, spec)
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+
+    flat_img = target_image[..., :3].reshape(H * W, 3)
+    flat_nrm = target_normal_image.reshape(H * W, 3)
+    flat_occ = jnp.any(flat_img != 0.0, axis=-1)
+
+    best_sq = jnp.full(source_points.shape[:1], jnp.inf, dtype=source_points.dtype)
+    best_pix = jnp.zeros(source_points.shape[:1], dtype=jnp.int32)
+    best_ok = jnp.zeros(source_points.shape[:1], dtype=bool)
+
+    for dv in range(-a, a + 1):
+        vv = jnp.clip(vi + dv, 0, H - 1)
+        for du in range(-b, b + 1):
+            uu = jnp.mod(ui + du, W)
+            pix = vv * W + uu
+            cand = flat_img[pix]
+            occ = flat_occ[pix]
+            d = cand - source_points
+            sq = jnp.sum(d * d, axis=-1)
+            better = occ & (sq < best_sq)
+            best_sq = jnp.where(better, sq, best_sq)
+            best_pix = jnp.where(better, pix, best_pix)
+            best_ok = best_ok | better
+
+    valid = best_ok & source_valid
+    best_pix = jax.lax.stop_gradient(best_pix)
+    tgt_pts = jnp.where(valid[:, None], flat_img[best_pix], 0.0)
+    tgt_nrm = jnp.where(valid[:, None], flat_nrm[best_pix], 0.0)
+    sq = jnp.where(valid, best_sq, jnp.inf)
+    return Correspondence(tgt_pts, tgt_nrm, valid, sq)
+
+
+def brute_force_correspondence(
+    source_points: jnp.ndarray,      # [S, 3]
+    source_valid: jnp.ndarray,       # [S]
+    target_points: jnp.ndarray,      # [T, 3]
+    target_valid: jnp.ndarray,       # [T]
+    target_normals: jnp.ndarray,     # [T, 3]
+    *,
+    tile: int = 1024,
+    use_pallas: bool = False,
+) -> Correspondence:
+    """Exact 1-NN of every source point among valid target points.
+
+    XLA implementation: the source is processed in tiles of ``tile`` points;
+    each tile computes a [tile, T] squared-distance block via an MXU matmul
+    (|s|^2 + |t|^2 - 2 s.t) and reduces with argmin. Invalid target slots are
+    pushed to +inf so padding never matches.
+    """
+    if use_pallas:
+        from delora_tpu.ops.pallas.nn_search import nn_search_pallas
+
+        idx, sq = nn_search_pallas(source_points, target_points, target_valid)
+    else:
+        S = source_points.shape[0]
+        pad = (-S) % tile
+        src = jnp.pad(source_points, ((0, pad), (0, 0)))
+        src_tiles = src.reshape(-1, tile, 3)
+
+        t_sq = jnp.sum(target_points * target_points, axis=-1)
+        t_bad = jnp.where(target_valid, 0.0, jnp.inf).astype(source_points.dtype)
+
+        def one_tile(s):
+            # [tile, T] distance block; the cross term rides the MXU.
+            cross = s @ target_points.T
+            d = jnp.sum(s * s, axis=-1)[:, None] + t_sq[None, :] - 2.0 * cross
+            d = d + t_bad[None, :]
+            return jnp.argmin(d, axis=-1).astype(jnp.int32), jnp.min(d, axis=-1)
+
+        idx_t, sq_t = jax.lax.map(one_tile, src_tiles)
+        idx = idx_t.reshape(-1)[:S]
+        sq = sq_t.reshape(-1)[:S]
+
+    idx = jax.lax.stop_gradient(idx)
+    any_target = jnp.any(target_valid)
+    valid = source_valid & any_target & jnp.isfinite(sq)
+    tgt_pts = jnp.where(valid[:, None], target_points[idx], 0.0)
+    tgt_nrm = jnp.where(valid[:, None], target_normals[idx], 0.0)
+    # Recompute the squared distance differentiably w.r.t. the source points
+    # (the search itself is detached, as in the reference).
+    d = source_points - tgt_pts
+    sq_out = jnp.where(valid, jnp.sum(d * d, axis=-1), jnp.inf)
+    return Correspondence(tgt_pts, tgt_nrm, valid, sq_out)

@@ -1,0 +1,43 @@
+"""Train state: params + Adam optimizer, with linear LR scaling for pods.
+
+The reference trains with Adam at lr 1e-5 (reference src/deploy/trainer.py:23-24,
+config/hyperparameters.yaml:5). For large-batch pod runs the linear scaling
+rule (lr * global_batch / base_batch) is exposed via config ``lr_scaling``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+from flax.training import train_state
+
+
+class TrainState(train_state.TrainState):
+    """Standard flax TrainState; kept as a named subclass for checkpoints."""
+
+
+def make_optimizer(config, global_batch_size: int) -> optax.GradientTransformation:
+    lr = float(config["learning_rate"])
+    if config.get("lr_scaling", "none") == "linear":
+        lr = lr * global_batch_size / float(config.get("lr_scaling_base_batch", 32))
+    return optax.adam(lr)
+
+
+def create_train_state(model, config, example_images, rng=None) -> TrainState:
+    """Initialize parameters and optimizer.
+
+    example_images: a [B, H, W, C] array (used twice as the scan pair).
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    params = model.init(rng, example_images, example_images)
+    tx = make_optimizer(config, example_images.shape[0])
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def param_count(state: TrainState) -> int:
+    import numpy as np
+
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))

@@ -1,0 +1,262 @@
+"""The fully-jitted training / inference step.
+
+This is the architectural inversion of the reference's hot loop (SURVEY.md §3.1):
+the reference's ``Deployer.step`` (reference src/deploy/deployer.py:237-375)
+makes >=4 device<->host round trips *per sample* (numba dedup, KD-tree build,
+KD query, stat readback) inside Python loops. Here everything between the
+padded point arrays and the scalar loss — augmentation, pair normalization,
+projection with closest-point dedup, model forward, quaternion->SE(3), source
+warp, correspondence search, masked ICP losses, gradients and the Adam
+update — is ONE compiled XLA program over the whole batch.
+
+Faithful-vs-fixed divergences (SURVEY.md §7 "hard parts" 5, decided here):
+  * the reference accumulates ``loss_pc`` over the per-sample loop re-adding
+    earlier samples (deployer.py:309-312); we compute a plain batch mean,
+  * the reference's supervised warmup loss keeps only the last sample
+    (deployer.py:324-327 inside the loop); we average over the batch,
+  * augmentation is batch-safe (the reference raises for batch > 1,
+    deployer.py:204).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from delora_tpu import se3
+from delora_tpu.losses.icp import IcpLossConfig, icp_losses
+from delora_tpu.ops.correspondence import (
+    brute_force_correspondence,
+    projective_correspondence,
+)
+from delora_tpu.ops.projection import (
+    ProjectionSpec,
+    compute_uv,
+    gather_image_attribute,
+    project_scan,
+)
+
+
+class ScanPairBatch(NamedTuple):
+    """One training batch of consecutive scan pairs, fixed shapes.
+
+    points_*: [B, N, 3] float32 (padded), normals_*: [B, N, 3] (zeros = no
+    normal), valid_*: [B, N] bool. Scan 1 is the target frame at time t,
+    scan 2 the source at t+1 (reference dataset.py:124-154 pairing).
+    """
+
+    points_1: jnp.ndarray
+    normals_1: jnp.ndarray
+    valid_1: jnp.ndarray
+    points_2: jnp.ndarray
+    normals_2: jnp.ndarray
+    valid_2: jnp.ndarray
+
+
+class StepConfig(NamedTuple):
+    """Static (hashable) step configuration — one compiled program per value."""
+
+    proj: ProjectionSpec
+    icp: IcpLossConfig
+    correspondence: str = "projective"       # "projective" | "brute"
+    window: Tuple[int, int] = (5, 9)
+    supervised: bool = False                  # identity-fit warmup phase
+    augment: bool = False
+    augment_only_yaw: bool = False
+    augment_magnitude_rad: float = 0.0698     # 4 degrees
+    normalization_scaling: bool = False
+    use_pallas_nn: bool = False
+
+    @classmethod
+    def from_config(cls, config, dataset: str, *, supervised: bool):
+        import math
+
+        return cls(
+            proj=ProjectionSpec.from_config(config, dataset),
+            icp=IcpLossConfig.from_config(config),
+            correspondence=str(config["correspondence"]),
+            window=tuple(config["projective_window"]),
+            supervised=supervised,
+            augment=bool(config["random_point_cloud_rotations"]),
+            augment_only_yaw=bool(config["random_rotations_only_yaw"]),
+            augment_magnitude_rad=float(config["magnitude_random_rot"]) / 180.0 * math.pi,
+            normalization_scaling=bool(config["normalization_scaling"]),
+        )
+
+
+def _augment(points, normals, rng, cfg: StepConfig):
+    """Random small rotation of the source scan (deployer.py:201-218), batched."""
+    B = points.shape[0]
+    dir_rng, mag_rng = jax.random.split(rng)
+    if cfg.augment_only_yaw:
+        direction = jnp.tile(jnp.array([0.0, 0.0, 1.0]), (B, 1))
+    else:
+        direction = jax.random.uniform(dir_rng, (B, 3))
+        direction = direction / jnp.maximum(
+            jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-9
+        )
+    magnitude = (jax.random.uniform(mag_rng, (B, 1)) - 0.5) * cfg.augment_magnitude_rad
+    R = se3.axis_angle_to_rotmat(direction * magnitude)
+    return points @ jnp.swapaxes(R, -1, -2), normals @ jnp.swapaxes(R, -1, -2)
+
+
+def _pair_normalization(batch: ScanPairBatch):
+    """Range-mean pair normalization (deployer.py:222-235) over valid points."""
+    def mean_range(p, m):
+        r = jnp.linalg.norm(p, axis=-1)
+        m = m.astype(p.dtype)
+        return jnp.sum(r * m, axis=-1) / jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+
+    m1 = mean_range(batch.points_1, batch.valid_1)
+    m2 = mean_range(batch.points_2, batch.valid_2)
+    scale = 0.5 * (m1 + m2)                                   # [B]
+    s = scale[:, None, None]
+    return batch._replace(points_1=batch.points_1 / s, points_2=batch.points_2 / s), scale
+
+
+def _image_pair(batch: ScanPairBatch, cfg: StepConfig):
+    """Project both scans; return images + per-scan survivor data."""
+    proj = functools.partial(project_scan, spec=cfg.proj)
+    p1 = jax.vmap(proj)(batch.points_1, batch.valid_1)
+    p2 = jax.vmap(proj)(batch.points_2, batch.valid_2)
+    return p1, p2
+
+
+def forward_pose(apply_fn, params, image_1, image_2, quat_also=False,
+                 deterministic=True, rngs=None):
+    """Model forward -> [B, 4, 4] transforms (and optionally raw outputs)."""
+    kwargs = {"deterministic": deterministic}
+    if rngs:
+        kwargs["rngs"] = rngs
+    translation, quat = apply_fn(params, image_1, image_2, **kwargs)
+    T = se3.transform_from_quat(translation, quat)
+    if quat_also:
+        return T, translation, quat
+    return T
+
+
+def loss_and_metrics(
+    apply_fn, params, batch: ScanPairBatch, cfg: StepConfig, rng
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Total loss + metrics dict for one batch (differentiable w.r.t. params)."""
+    aug_rng, drop_rng = jax.random.split(rng)
+    if cfg.augment:
+        p2, n2 = _augment(batch.points_2, batch.normals_2, aug_rng, cfg)
+        batch = batch._replace(points_2=p2, normals_2=n2)
+    scale = None
+    if cfg.normalization_scaling:
+        batch, scale = _pair_normalization(batch)
+
+    proj_1, proj_2 = _image_pair(batch, cfg)
+    image_1 = proj_1.image                                   # [B, H, W, 4]
+    image_2 = proj_2.image
+
+    T = forward_pose(
+        apply_fn, params, image_1, image_2,
+        deterministic=False, rngs={"dropout": drop_rng},
+    )
+
+    # Warp source points / rotate source normals by the predicted transform
+    # (deployer.py:294-299). Only surviving points enter the loss
+    # (deployer.py:257-261) — handled by masks, not ragged slicing.
+    src_pts = se3.transform_points(T, batch.points_2)
+    src_nrm = se3.rotate_points(T, batch.normals_2)
+    src_valid = proj_2.survivor
+
+    target_normal_image = jax.vmap(gather_image_attribute)(
+        batch.normals_1, proj_1.point_index
+    )
+
+    if cfg.correspondence == "projective":
+        corr = jax.vmap(
+            lambda s, m, img, nimg: projective_correspondence(
+                s, m, img, nimg, cfg.proj, cfg.window
+            )
+        )(src_pts, src_valid, image_1, target_normal_image)
+    else:
+        corr = jax.vmap(
+            lambda s, m, t, tv, tn: brute_force_correspondence(
+                s, m, t, tv, tn, use_pallas=cfg.use_pallas_nn
+            )
+        )(src_pts, src_valid, batch.points_1, proj_1.survivor, batch.normals_1)
+
+    per_pair = jax.vmap(lambda s, n, m, c: icp_losses(s, n, m, c, cfg.icp))(
+        src_pts, src_nrm, src_valid, corr
+    )
+    losses = {k: jnp.mean(v) for k, v in per_pair.items()}
+
+    # Supervised identity-fit warmup (deployer.py:324-336), batch-averaged.
+    eye = jnp.eye(4, dtype=T.dtype)
+    loss_identity = jnp.mean((T - eye) ** 2)
+
+    # cfg.supervised is static: the unused branch is never traced in.
+    loss = loss_identity if cfg.supervised else losses["loss_pc"]
+
+    # Visible-pixel statistic (deployer.py:365-367): how many warped source
+    # points land inside the vertical FoV.
+    _, v_pix = compute_uv(src_pts, cfg.proj)
+    visible = jnp.sum(
+        (jnp.round(v_pix) < cfg.proj.height) & (v_pix > 0.0) & src_valid,
+        axis=-1,
+    )
+
+    metrics = {
+        "loss": loss,
+        "loss_pc": losses["loss_pc"],
+        "loss_po2po": losses["loss_po2po"],
+        "loss_po2pl": losses["loss_po2pl"],
+        "loss_pl2pl": losses["loss_pl2pl"],
+        "loss_identity": loss_identity,
+        "num_po2pl_pairs": jnp.mean(
+            per_pair["num_po2pl_pairs"].astype(jnp.float32)
+        ),
+        "visible_pixels": jnp.mean(visible.astype(jnp.float32)),
+    }
+    aux = {"transforms": T, "scale": scale}
+    return loss, (metrics, aux)
+
+
+def make_train_step(model, cfg: StepConfig, donate: bool = True):
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+
+    def step(state, batch: ScanPairBatch, rng):
+        grad_fn = jax.value_and_grad(
+            lambda p: loss_and_metrics(state.apply_fn, p, batch, cfg, rng),
+            has_aux=True,
+        )
+        (loss, (metrics, _)), grads = grad_fn(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_infer_step(model, cfg: StepConfig):
+    """Jitted inference: batch -> [B, 4, 4] relative transforms.
+
+    Mirrors the reference's inference-only path (deployer.py:370-375),
+    including un-scaling predicted translations under pair normalization
+    (deployer.py:344-346).
+    """
+
+    def step(params, batch: ScanPairBatch):
+        b, scale = (batch, None)
+        if cfg.normalization_scaling:
+            b, scale = _pair_normalization(batch)
+        proj_1, proj_2 = _image_pair(b, cfg)
+        T = forward_pose(model.apply, params, proj_1.image, proj_2.image)
+        if scale is not None:
+            T = T.at[:, :3, 3].multiply(scale[:, None])
+        return T
+
+    return jax.jit(step)
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.vdot(x, x).real for x in leaves))

@@ -1,0 +1,120 @@
+"""Evaluation engine: sequential inference, pose chaining, trajectory output.
+
+Re-design of the reference Tester (reference src/deploy/tester.py): iterate
+each test sequence in order, predict the relative transform per consecutive
+scan pair, bucket transforms per (dataset, sequence) (tester.py:84-86), and on
+sequence end emit KITTI pose files, trajectory plots and metrics
+(tester.py:72-82, deployer.py:102-158).
+
+TPU improvements over the reference:
+  * inference is batched — consecutive pairs are independent, so eval runs at
+    training batch sizes instead of the reference's forced batch_size=1
+    (tester.py:29-30),
+  * a quantitative t_rel / r_rel evaluator (utils/poses.py) replaces
+    plot-only evaluation.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from delora_tpu.data.dataset import ScanPairDataset
+from delora_tpu.data.pose_data import load_kitti_poses
+from delora_tpu.models.odometry import ModelConfig, OdometryModel
+from delora_tpu.training.checkpoint import CheckpointManager
+from delora_tpu.training.state import create_train_state
+from delora_tpu.training.step import StepConfig, make_infer_step
+from delora_tpu.utils import poses as pose_utils
+from delora_tpu.utils.metrics import MetricsLogger
+
+
+class Tester:
+    def __init__(self, config, *, state=None, run_name: Optional[str] = None):
+        self.config = dict(config)
+        self.datasets = list(config["datasets"])
+        self.batch_size = int(config.get("eval_batch_size", config["batch_size"]))
+        self.run_name = run_name or config.get("run_name", "test")
+
+        self.model_cfg = ModelConfig.from_config(config)
+        self.model = OdometryModel(self.model_cfg)
+
+        if state is None:
+            if not config.get("checkpoint"):
+                raise ValueError("Testing requires a checkpoint (tester.py:21-27)")
+            import jax.numpy as jnp
+
+            ds0 = config[self.datasets[0]]
+            example = jnp.zeros(
+                (self.batch_size, ds0["vertical_cells"], ds0["horizontal_cells"], 4)
+            )
+            state = create_train_state(self.model, config, example)
+            ckpt_dir = config["checkpoint"]
+            mgr = CheckpointManager(os.path.dirname(ckpt_dir.rstrip("/")) or ".")
+            state, _ = mgr.restore(state, os.path.basename(ckpt_dir.rstrip("/")))
+        self.state = state
+
+        self.logger = MetricsLogger(
+            config.get("log_dir", "./runs"), config.get("experiment", "default"),
+            self.run_name, use_mlflow=bool(config.get("use_mlflow", False)),
+        )
+
+    def predict_sequence(self, dataset: str, sequence_index: int) -> np.ndarray:
+        """All relative transforms of one sequence, batched -> [K, 4, 4]."""
+        ds = ScanPairDataset(self.config, dataset)
+        cfg = StepConfig.from_config(self.config, dataset, supervised=False)
+        infer = make_infer_step(self.model, cfg)
+
+        pair_ids = [i for i, (si, _) in enumerate(ds.pairs) if si == sequence_index]
+        out: List[np.ndarray] = []
+        B = self.batch_size
+        for start in range(0, len(pair_ids), B):
+            chunk = pair_ids[start:start + B]
+            padded = chunk + [chunk[-1]] * (B - len(chunk))
+            batch = ds.make_batch(padded)
+            T = np.asarray(infer(self.state.params, batch))
+            out.extend(T[: len(chunk)])
+        return np.stack(out)
+
+    def test(self) -> Dict[str, Dict[int, Optional[tuple]]]:
+        """Evaluate every configured test sequence; returns metrics per seq."""
+        results: Dict[str, Dict[int, Optional[tuple]]] = {}
+        for dataset in self.datasets:
+            spec = self.config[dataset]
+            results[dataset] = {}
+            for seq_pos, seq_id in enumerate(spec["data_identifiers"]):
+                rel = self.predict_sequence(dataset, seq_pos)
+                poses = pose_utils.compute_poses(list(rel))
+
+                tag = f"{dataset}_{seq_id:02d}"
+                pose_file = self.logger.artifact_path(f"poses_{tag}.txt")
+                pose_utils.write_poses_to_text_file(pose_file, poses)
+                np.save(self.logger.artifact_path(f"transformations_{tag}.npy"), rel)
+                np.save(self.logger.artifact_path(f"poses_{tag}.npy"), poses)
+
+                metrics = None
+                gt = load_kitti_poses(self.config, dataset, seq_id)
+                if gt is not None:
+                    metrics = pose_utils.kitti_benchmark_summary(gt, poses)
+                    if metrics is not None:
+                        t_rel, r_rel = metrics
+                        print(f"[test] {tag}: t_rel={t_rel:.3f}%  "
+                              f"r_rel={r_rel:.4f} deg/100m")
+                        self.logger.log_metrics(
+                            {f"t_rel_{tag}": t_rel, f"r_rel_{tag}": r_rel}, step=0
+                        )
+                try:
+                    from delora_tpu.utils.plotting import plot_trajectory
+
+                    plot_trajectory(
+                        poses, gt,
+                        self.logger.artifact_path(f"map_{tag}_2d.png"),
+                        title=tag,
+                    )
+                except Exception as e:
+                    print(f"[test] plotting skipped: {e}")
+                results[dataset][seq_id] = metrics
+        return results

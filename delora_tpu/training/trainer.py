@@ -1,0 +1,159 @@
+"""Training driver: epochs, warmup switch, checkpointing, metric logging.
+
+Re-design of the reference Trainer (reference src/deploy/trainer.py). Key
+behaviors carried over:
+  * supervised identity-fit warmup that auto-switches to unsupervised when
+    the epoch loss drops below 1e-2 (trainer.py:184-186),
+  * resume from checkpoint restores model + optimizer and forces
+    unsupervised mode (trainer.py:27-36),
+  * per-epoch metric logging and latest/durable checkpoints
+    (trainer.py:141-173),
+  * epoch cap 10000 (trainer.py:120).
+
+Redesigned for TPU: the inner loop feeds fixed-shape batches to one compiled
+train step per (dataset, phase) pair; multi-dataset configs group batches per
+dataset (per-dataset image shapes are static — SURVEY.md §7 P5). With a mesh
+(see delora_tpu.parallel) the same trainer runs data-parallel: batches are
+assembled per host and sharded over devices.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from delora_tpu.data.dataset import BatchLoader, ScanPairDataset
+from delora_tpu.models.odometry import ModelConfig, OdometryModel
+from delora_tpu.training.checkpoint import CheckpointManager
+from delora_tpu.training.state import create_train_state, param_count
+from delora_tpu.training.step import StepConfig, make_train_step
+from delora_tpu.utils.metrics import MetricsLogger
+
+
+class Trainer:
+    def __init__(self, config, *, mesh=None, run_name: Optional[str] = None):
+        self.config = dict(config)
+        self.mesh = mesh
+        self.run_name = run_name or config.get("training_run_name", "run")
+        self.datasets = list(config["datasets"])
+        self.batch_size = int(config["batch_size"])
+        self.supervised = not bool(config["unsupervised_at_start"])
+
+        # Model + state (initialized on the first dataset's image shape; the
+        # model is shape-polymorphic across datasets).
+        self.model_cfg = ModelConfig.from_config(config)
+        self.model = OdometryModel(self.model_cfg)
+        ds0 = config[self.datasets[0]]
+        example = jnp.zeros(
+            (self.batch_size, ds0["vertical_cells"], ds0["horizontal_cells"], 4),
+            dtype=jnp.float32,
+        )
+        self.state = create_train_state(self.model, config, example)
+        print(f"[trainer] model parameters: {param_count(self.state):,}")
+
+        # Data
+        self.pair_datasets = {
+            name: ScanPairDataset(config, name) for name in self.datasets
+        }
+        num_shards = jax.process_count()
+        self.loaders = {
+            name: BatchLoader(
+                ds, self.batch_size,
+                shuffle=True, seed=int(config.get("seed", 0)),
+                num_shards=num_shards, shard_index=jax.process_index(),
+            )
+            for name, ds in self.pair_datasets.items()
+        }
+
+        # Checkpointing + metrics
+        self.ckpt = CheckpointManager(
+            config.get("checkpoint_dir", "./checkpoints_tpu"),
+            keep_every=int(config.get("checkpoint_keep_every", 5)),
+        )
+        self.logger = MetricsLogger(
+            config.get("log_dir", "./runs"), config.get("experiment", "default"),
+            self.run_name, use_mlflow=bool(config.get("use_mlflow", False)),
+        )
+        self.logger.log_params(self.config)
+        self.start_epoch = 0
+
+        if config.get("checkpoint"):
+            self.state, meta = self.ckpt.restore(self.state, config["checkpoint"])
+            self.start_epoch = int(meta.get("epoch", -1)) + 1
+            self.supervised = False  # pretrained -> straight to unsupervised
+            print(f"[trainer] resumed from {config['checkpoint']} "
+                  f"(epoch {self.start_epoch})")
+
+        self._steps: Dict[tuple, callable] = {}
+
+    def _step_fn(self, dataset: str):
+        key = (dataset, self.supervised)
+        if key not in self._steps:
+            cfg = StepConfig.from_config(
+                self.config, dataset, supervised=self.supervised
+            )
+            if self.mesh is not None:
+                from delora_tpu.parallel.pjit_step import make_sharded_train_step
+
+                self._steps[key] = make_sharded_train_step(
+                    self.model, cfg, self.mesh
+                )
+            else:
+                self._steps[key] = make_train_step(self.model, cfg)
+        return self._steps[key]
+
+    def _shard_batch(self, batch):
+        if self.mesh is None:
+            return batch
+        from delora_tpu.parallel.pjit_step import shard_batch
+
+        return shard_batch(batch, self.mesh)
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        count = 0
+        rng = jax.random.PRNGKey(hash((epoch, 0x5EED)) & 0x7FFFFFFF)
+        t0 = time.time()
+        for dataset in self.datasets:
+            step = self._step_fn(dataset)
+            for batch in self.loaders[dataset].epoch(epoch):
+                rng, step_rng = jax.random.split(rng)
+                self.state, metrics = step(
+                    self.state, self._shard_batch(batch), step_rng
+                )
+                count += 1
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+        if count == 0:
+            raise RuntimeError("No batches produced — dataset smaller than batch?")
+        out = {k: v / count for k, v in sums.items()}
+        out["steps"] = count
+        out["epoch_seconds"] = time.time() - t0
+        out["scan_pairs_per_sec"] = count * self.batch_size / out["epoch_seconds"]
+        return out
+
+    def train(self, max_epochs: Optional[int] = None):
+        epochs = int(max_epochs or self.config.get("epochs", 10000))
+        for epoch in range(self.start_epoch, epochs):
+            metrics = self.train_epoch(epoch)
+            metrics["supervised"] = float(self.supervised)
+            self.logger.log_metrics(metrics, step=epoch)
+            print(
+                f"[epoch {epoch:05d}] loss={metrics['loss']:.6f} "
+                f"pc={metrics['loss_pc']:.6f} po2pl={metrics['loss_po2pl']:.6f} "
+                f"pl2pl={metrics['loss_pl2pl']:.6f} "
+                f"pairs/s={metrics['scan_pairs_per_sec']:.1f} "
+                f"supervised={self.supervised}"
+            )
+            if jax.process_index() == 0:
+                self.ckpt.save(self.state, epoch, metrics["loss"], self.config)
+
+            # Warmup auto-switch (trainer.py:184-186).
+            if self.supervised and metrics["loss"] < 1e-2:
+                self.supervised = False
+                print("[trainer] warmup converged — switching to unsupervised")
+        return self.state

