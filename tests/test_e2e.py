@@ -1,0 +1,141 @@
+"""End-to-end pipeline test on a synthetic world (CPU, tiny sizes):
+raw .bin scans -> offline preprocessing -> training epochs -> sequential
+evaluation -> pose files + trajectory. Exercises the same code path as
+``delora preprocess && delora train && delora test``."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from delora_tpu.config import load_config
+
+
+def synthesize_kitti_sequence(root, seq=0, n_scans=8, n_points=3000, seed=0):
+    """A forward-moving sensor observing a random landmark field."""
+    rng = np.random.default_rng(seed)
+    world = rng.normal(size=(n_points, 3)).astype(np.float32)
+    world *= np.array([15.0, 15.0, 1.0], np.float32)
+    world[:, 2] -= 1.5
+    seq_dir = os.path.join(root, f"{seq:02d}", "velodyne")
+    os.makedirs(seq_dir, exist_ok=True)
+    for k in range(n_scans):
+        sensor_x = 0.3 * k  # forward motion along +x
+        pts = world.copy()
+        pts[:, 0] -= sensor_x
+        intensity = rng.random((n_points, 1)).astype(np.float32)
+        np.concatenate([pts, intensity], axis=1).tofile(
+            os.path.join(seq_dir, f"{k:06d}.bin")
+        )
+
+
+def e2e_config(tmp_path):
+    return load_config(overrides={
+        "datasets": ["kitti"],
+        "kitti": {
+            "training_identifiers": [0],
+            "testing_identifiers": [0],
+            "vertical_cells": 16,
+            "horizontal_cells": 64,
+            "horizontal_cells_preprocessing": 128,
+            "max_points": 2048,
+            "neighborhood_side_length": [5, 7],
+            "data_path": str(tmp_path / "raw"),
+            "preprocessed_path": str(tmp_path / "preprocessed"),
+            "pose_data_path": None,
+        },
+        "batch_size": 2,
+        "learning_rate": 1e-4,
+        "epochs": 3,
+        "resnet_outputs": 32,
+        "layers": [1, 1, 1, 1],
+        "factor_fewer_resnet_channels": 16,
+        "compute_dtype": "float32",
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "log_dir": str(tmp_path / "runs"),
+        "unsupervised_at_start": False,
+        "epsilon_range": 5.0,
+    })
+
+
+@pytest.fixture(scope="module")
+def pipeline_dir(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("e2e")
+    synthesize_kitti_sequence(str(tmp_path / "raw"))
+    return tmp_path
+
+
+def test_preprocessing_writes_reference_contract(pipeline_dir):
+    config = e2e_config(pipeline_dir)
+    from delora_tpu.data.preprocess import Preprocessor
+
+    n = Preprocessor(config).run_dataset("kitti", progress=False)
+    assert n == 8
+    scans = sorted(glob.glob(
+        str(pipeline_dir / "preprocessed" / "00" / "scans" / "*.npy")))
+    normals = sorted(glob.glob(
+        str(pipeline_dir / "preprocessed" / "00" / "normals" / "*.npy")))
+    assert len(scans) == 8 and len(normals) == 8
+    s0 = np.load(scans[0])
+    n0 = np.load(normals[0])
+    # Reference on-disk contract: [M, 3] float arrays, row-aligned, normals
+    # zero where undefined (preprocesser.py:64-68).
+    assert s0.ndim == 2 and s0.shape[1] == 3 and s0.dtype == np.float32
+    assert n0.shape == s0.shape
+    assert (np.linalg.norm(n0, axis=-1) > 0).sum() > 10  # some normals found
+    # Dedup: all points distinct pixels -> strictly fewer than raw count.
+    assert 100 < len(s0) <= 2048
+
+
+def test_training_runs_and_checkpoints(pipeline_dir):
+    config = e2e_config(pipeline_dir)
+    from delora_tpu.training.trainer import Trainer
+
+    trainer = Trainer(config, run_name="e2e")
+    trainer.train(max_epochs=2)
+    assert os.path.exists(str(pipeline_dir / "ckpt" / "latest"))
+    metrics_file = str(pipeline_dir / "runs" / config["experiment"] /
+                       "e2e" / "metrics.jsonl")
+    assert os.path.getsize(metrics_file) > 0
+
+
+def test_resume_from_checkpoint(pipeline_dir):
+    config = e2e_config(pipeline_dir)
+    config["checkpoint"] = "latest"
+    from delora_tpu.training.trainer import Trainer
+
+    trainer = Trainer(config, run_name="e2e_resume")
+    # Resume restores weights/optimizer and forces unsupervised mode
+    # (reference trainer.py:27-36).
+    assert trainer.supervised is False
+    assert trainer.start_epoch >= 1
+
+
+def test_testing_produces_trajectory(pipeline_dir):
+    config = e2e_config(pipeline_dir)
+    config["mode"] = "testing"
+    config["kitti"]["data_identifiers"] = [0]
+    from delora_tpu.models.odometry import ModelConfig, OdometryModel
+    from delora_tpu.training.state import create_train_state
+    from delora_tpu.training.tester import Tester
+    import jax.numpy as jnp
+
+    model = OdometryModel(ModelConfig.from_config(config))
+    state = create_train_state(model, config, jnp.zeros((2, 16, 64, 4)))
+    tester = Tester(config, state=state, run_name="e2e_test")
+    results = tester.test()
+    assert 0 in results["kitti"]
+
+    art = str(pipeline_dir / "runs" / config["experiment"] / "e2e_test" /
+              "artifacts")
+    assert os.path.exists(os.path.join(art, "poses_kitti_00.txt"))
+    assert os.path.exists(os.path.join(art, "map_kitti_00_2d.png"))
+    from delora_tpu.utils.poses import read_poses_from_text_file
+
+    poses = read_poses_from_text_file(os.path.join(art, "poses_kitti_00.txt"))
+    assert poses.shape == (8, 4, 4)  # 7 pairs + identity start
+    for p in poses:
+        from delora_tpu.utils.poses import check_validity_so3
+
+        assert check_validity_so3(p[:3, :3], atol=1e-4)
