@@ -56,51 +56,55 @@ class NormalsSpec(NamedTuple):
         )
 
 
-def _shifted_stack(image: jnp.ndarray, a: int, b: int) -> jnp.ndarray:
-    """All (2a+1)x(2b+1) edge-clamped shifts of ``[H, W, C]`` -> ``[K, H, W, C]``.
+def compute_normal_image(image_xyz: jnp.ndarray, spec: NormalsSpec) -> jnp.ndarray:
+    """Range image ``[H, W, 3]`` (zeros at empty pixels) -> normals ``[H, W, 3]``.
+
+    Zero vector where no normal could be estimated.
+
+    Implementation: a single ``fori_loop`` over the K = patch_v * patch_u
+    offsets accumulates masked first and second moments (count, sum p,
+    sum p p^T) per pixel; the covariance follows algebraically as
+    (sum pp^T - n mean mean^T) / (n - 1), which equals the reference's
+    zero-excluded difference form (linalg.py:39-44) exactly. The rolled loop
+    keeps the XLA program small — an unrolled 77-slice einsum formulation
+    took minutes to compile on the TPU toolchain.
 
     Edge-clamp padding reproduces the reference's border index clamping
     (normal_computation.py:103-111: out-of-range coordinates snap to the
     border, biasing edge neighborhoods exactly the same way).
     """
-    H, W = image.shape[0], image.shape[1]
-    padded = jnp.pad(image, ((a, a), (b, b), (0, 0)), mode="edge")
-    shifts = []
-    for dv in range(-a, a + 1):
-        for du in range(-b, b + 1):
-            shifts.append(
-                jax.lax.dynamic_slice(
-                    padded, (dv + a, du + b, 0), (H, W, image.shape[2])
-                )
-            )
-    return jnp.stack(shifts, axis=0)
-
-
-def compute_normal_image(image_xyz: jnp.ndarray, spec: NormalsSpec) -> jnp.ndarray:
-    """Range image ``[H, W, 3]`` (zeros at empty pixels) -> normals ``[H, W, 3]``.
-
-    Zero vector where no normal could be estimated.
-    """
     a = spec.patch_v // 2
     b = spec.patch_u // 2
+    H, W, _ = image_xyz.shape
+    K = spec.patch_v * spec.patch_u
 
-    center_valid = jnp.all(image_xyz != 0.0, axis=-1)           # AND, :35
-    neighbors = _shifted_stack(image_xyz, a, b)                  # [K, H, W, 3]
-    neighbor_nonzero = jnp.any(neighbors != 0.0, axis=-1)        # OR, linalg:34-38
-
+    center_valid = jnp.all(image_xyz != 0.0, axis=-1)            # AND, :35
     center_range = jnp.linalg.norm(image_xyz, axis=-1)           # [H, W]
-    neighbor_range = jnp.linalg.norm(neighbors, axis=-1)         # [K, H, W]
-    range_ok = jnp.abs(neighbor_range - center_range[None]) <= spec.epsilon_range
+    padded = jnp.pad(image_xyz, ((a, a), (b, b), (0, 0)), mode="edge")
 
-    contrib = neighbor_nonzero & range_ok                        # [K, H, W]
-    w = contrib.astype(image_xyz.dtype)
-    n = jnp.sum(w, axis=0)                                       # [H, W]
+    def body(k, carry):
+        count, s1, s2 = carry
+        dv = k // spec.patch_u
+        du = k % spec.patch_u
+        nb = jax.lax.dynamic_slice(padded, (dv, du, 0), (H, W, 3))
+        nonzero = jnp.any(nb != 0.0, axis=-1)                    # OR, linalg:34-38
+        nb_range = jnp.linalg.norm(nb, axis=-1)
+        ok = nonzero & (jnp.abs(nb_range - center_range) <= spec.epsilon_range)
+        w = ok.astype(image_xyz.dtype)[..., None]
+        nbw = nb * w
+        # Second moments: 6 unique entries of the symmetric 3x3.
+        outer = nbw[..., :, None] * nb[..., None, :]             # [H, W, 3, 3]
+        return count + w[..., 0], s1 + nbw, s2 + outer
+
+    count0 = jnp.zeros((H, W), image_xyz.dtype)
+    s1_0 = jnp.zeros((H, W, 3), image_xyz.dtype)
+    s2_0 = jnp.zeros((H, W, 3, 3), image_xyz.dtype)
+    n, s1, s2 = jax.lax.fori_loop(0, K, body, (count0, s1_0, s2_0))
+
     n_safe = jnp.maximum(n, 2.0)                                 # avoid /0, /(n-1)=0
-
-    masked = neighbors * w[..., None]
-    mean = jnp.sum(masked, axis=0) / n_safe[..., None]           # linalg:41-42
-    diff = (neighbors - mean[None]) * w[..., None]               # linalg:43-44
-    cov = jnp.einsum("khwi,khwj->hwij", diff, diff) / (n_safe - 1.0)[..., None, None]
+    mean = s1 / n_safe[..., None]                                # linalg:41-42
+    cov = (s2 - n_safe[..., None, None] * mean[..., :, None] * mean[..., None, :])
+    cov = cov / (n_safe - 1.0)[..., None, None]
 
     normal, _ = smallest_eigenvector_sym3x3(cov)
 
