@@ -96,7 +96,7 @@ def main():
     log(f"compile+warmup: {time.time() - t0:.1f}s; loss={float(metrics['loss']):.5f}")
 
     # Timed region: K steps bracketed by readbacks.
-    K = 30
+    K = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     sync(metrics["loss"])
     t0 = time.time()
     for k in range(K):

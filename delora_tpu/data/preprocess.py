@@ -31,27 +31,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from delora_tpu.data.kitti import KittiSequenceReader
-from delora_tpu.ops.normals import NormalsSpec, compute_normal_image
+from delora_tpu.ops.normals import NormalsSpec
 from delora_tpu.ops.projection import ProjectionSpec, project_scan
 
 
 @functools.partial(jax.jit, static_argnames=("pspec", "nspec"))
 def _preprocess_one(points, valid, pspec: ProjectionSpec, nspec: NormalsSpec):
-    """Padded raw scan -> (dedup points [N,3], normals [N,3], survivor [N]).
+    """Padded raw scan -> (survivor mask [N], per-point normals [N, 3]).
 
     Survivor-compacted on the host afterwards (ragged output is host-side).
     """
+    from delora_tpu.ops.normals import normals_for_points
+
     proj = project_scan(points, valid, pspec)
-    normal_image = compute_normal_image(proj.image[..., :3], nspec)
-    flat_idx = proj.point_index.reshape(-1)
-    flat_nrm = normal_image.reshape(-1, 3)
-    n = points.shape[0]
-    scatter_idx = jnp.where(flat_idx >= 0, flat_idx, n)
-    per_point_normals = (
-        jnp.zeros((n + 1, 3), dtype=flat_nrm.dtype)
-        .at[scatter_idx]
-        .set(flat_nrm, mode="drop")[:n]
-    )
+    per_point_normals = normals_for_points(proj.image[..., :3], proj, nspec)
     return proj.survivor, per_point_normals
 
 

@@ -1,0 +1,156 @@
+"""Synthetic LiDAR world simulator — structured scenes + ray-cast scans.
+
+No KITTI download exists on an air-gapped TPU host, so the framework ships a
+simulator producing KITTI-layout datasets (velodyne .bin scans + ground-truth
+pose files) with enough structure (ground plane, walls, boxes) for the
+geometric losses to be informative: planar regions yield normals, so
+point-to-plane alignment has a well-defined optimum at the true pose. Used by
+integration tests and on-box convergence/benchmark experiments.
+
+Sensor model: HDL-64-like — ``rings`` elevation angles spanning the vertical
+FoV, ``azimuth_steps`` horizontal rays, additive range noise, max range cull.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from delora_tpu.utils.poses import TRANSFORM_LIDAR_TO_WORLD
+
+
+class PlaneSegment:
+    """Axis-aligned rectangle: plane n.x = d bounded in the other two axes."""
+
+    def __init__(self, axis: int, offset: float, lo: Tuple[float, float],
+                 hi: Tuple[float, float]):
+        self.axis = axis        # normal axis (0=x, 1=y, 2=z)
+        self.offset = offset
+        self.lo = lo            # bounds over the two remaining axes
+        self.hi = hi
+
+    def intersect(self, origins: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+        """Ray-plane hit distances, +inf if miss. origins/dirs: [N, 3]."""
+        denom = dirs[:, self.axis]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (self.offset - origins[:, self.axis]) / denom
+        t = np.where(np.abs(denom) < 1e-9, np.inf, t)
+        hit = origins + t[:, None] * dirs
+        other = [i for i in range(3) if i != self.axis]
+        inside = (
+            (hit[:, other[0]] >= self.lo[0]) & (hit[:, other[0]] <= self.hi[0])
+            & (hit[:, other[1]] >= self.lo[1]) & (hit[:, other[1]] <= self.hi[1])
+        )
+        return np.where((t > 0.1) & inside, t, np.inf)
+
+
+def make_world(seed: int = 0, extent: float = 60.0, n_boxes: int = 24
+               ) -> List[PlaneSegment]:
+    """Ground plane + random boxes (walls perpendicular to x/y)."""
+    rng = np.random.default_rng(seed)
+    world: List[PlaneSegment] = [
+        PlaneSegment(2, -1.8, (-extent * 4, -extent), (extent * 4, extent)),
+    ]
+    for _ in range(n_boxes):
+        cx = rng.uniform(-extent, extent * 3)
+        cy = rng.uniform(-extent * 0.8, extent * 0.8)
+        if abs(cy) < 4.0:
+            cy += np.sign(cy or 1.0) * 6.0   # keep the corridor clear
+        w, d, h = rng.uniform(1.5, 8.0, size=3)
+        h = min(h, 4.0)
+        world.append(PlaneSegment(0, cx - w / 2, (cy - d / 2, -1.8),
+                                  (cy + d / 2, -1.8 + h)))
+        world.append(PlaneSegment(0, cx + w / 2, (cy - d / 2, -1.8),
+                                  (cy + d / 2, -1.8 + h)))
+        world.append(PlaneSegment(1, cy - d / 2, (cx - w / 2, -1.8),
+                                  (cx + w / 2, -1.8 + h)))
+        world.append(PlaneSegment(1, cy + d / 2, (cx - w / 2, -1.8),
+                                  (cx + w / 2, -1.8 + h)))
+    return world
+
+
+def simulate_scan(
+    world: List[PlaneSegment],
+    pose: np.ndarray,                 # [4, 4] sensor -> world
+    rings: int = 32,
+    azimuth_steps: int = 900,
+    v_fov=(-24.5, 2.0),
+    max_range: float = 80.0,
+    noise: float = 0.01,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """-> [M, 3] hit points in the SENSOR frame."""
+    rng = rng or np.random.default_rng(0)
+    elev = np.deg2rad(np.linspace(v_fov[0], v_fov[1], rings))
+    azim = np.linspace(-np.pi, np.pi, azimuth_steps, endpoint=False)
+    E, A = np.meshgrid(elev, azim, indexing="ij")
+    dirs_sensor = np.stack(
+        [np.cos(E) * np.cos(A), np.cos(E) * np.sin(A), np.sin(E)], axis=-1
+    ).reshape(-1, 3)
+
+    R, t = pose[:3, :3], pose[:3, 3]
+    dirs_world = dirs_sensor @ R.T
+    origins = np.broadcast_to(t, dirs_world.shape)
+
+    t_best = np.full(len(dirs_world), np.inf)
+    for seg in world:
+        t_best = np.minimum(t_best, seg.intersect(origins, dirs_world))
+    hit = np.isfinite(t_best) & (t_best <= max_range)
+    t_noisy = t_best[hit] + rng.normal(scale=noise, size=hit.sum())
+    return (dirs_sensor[hit] * t_noisy[:, None]).astype(np.float32)
+
+
+def forward_trajectory(n_scans: int, step: float = 0.8, yaw_rate: float = 0.004
+                       ) -> np.ndarray:
+    """Gently curving forward drive -> [K, 4, 4] sensor poses in world."""
+    poses = [np.eye(4)]
+    for _ in range(n_scans - 1):
+        T = np.eye(4)
+        c, s = np.cos(yaw_rate), np.sin(yaw_rate)
+        T[:2, :2] = [[c, -s], [s, c]]
+        T[0, 3] = step
+        poses.append(poses[-1] @ T)
+    return np.stack(poses)
+
+
+def write_kitti_layout(
+    out_dir: str,
+    sequence: int = 0,
+    n_scans: int = 60,
+    rings: int = 32,
+    azimuth_steps: int = 900,
+    seed: int = 0,
+    step: float = 0.8,
+) -> Tuple[str, str]:
+    """Emit <out>/sequences/<seq>/velodyne/*.bin + <out>/poses/<seq>.txt.
+
+    Pose files use the KITTI convention (camera/world frame — the lidar
+    poses conjugated by the fixed lidar->world permutation, matching what
+    utils/poses.compute_poses produces for evaluation).
+    """
+    world = make_world(seed=seed)
+    traj = forward_trajectory(n_scans, step=step)
+    rng = np.random.default_rng(seed + 1)
+
+    seq_dir = os.path.join(out_dir, "sequences", f"{sequence:02d}", "velodyne")
+    pose_dir = os.path.join(out_dir, "poses")
+    os.makedirs(seq_dir, exist_ok=True)
+    os.makedirs(pose_dir, exist_ok=True)
+
+    for k, pose in enumerate(traj):
+        pts = simulate_scan(world, pose, rings=rings,
+                            azimuth_steps=azimuth_steps, rng=rng)
+        intensity = rng.random((len(pts), 1), dtype=np.float32)
+        np.concatenate([pts, intensity], axis=1).tofile(
+            os.path.join(seq_dir, f"{k:06d}.bin")
+        )
+
+    L = TRANSFORM_LIDAR_TO_WORLD
+    with open(os.path.join(pose_dir, f"{sequence:02d}.txt"), "w") as f:
+        for pose in traj:
+            world_pose = L @ pose @ L.T
+            f.write(" ".join(f"{v:.9e}" for v in world_pose.reshape(16)[:12]))
+            f.write("\n")
+    return seq_dir, os.path.join(pose_dir, f"{sequence:02d}.txt")

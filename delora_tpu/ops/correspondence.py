@@ -60,7 +60,14 @@ def projective_correspondence(
     wv, wu = window
     a, b = wv // 2, wu // 2
 
-    u, v = compute_uv(source_points, spec)
+    # The search itself is non-differentiable (the reference detaches the KD
+    # indices, icp_losses.py:64-67), so run it on stop_gradient inputs inside
+    # a rolled fori_loop — a 45-way unrolled window made XLA compile times
+    # explode; a while-loop is also not reverse-differentiable, which the
+    # stop_gradient sidesteps. The differentiable distance is recomputed from
+    # the winning gather afterwards.
+    src = jax.lax.stop_gradient(source_points)
+    u, v = compute_uv(src, spec)
     ui = jnp.round(u).astype(jnp.int32)
     vi = jnp.round(v).astype(jnp.int32)
 
@@ -68,29 +75,37 @@ def projective_correspondence(
     flat_nrm = target_normal_image.reshape(H * W, 3)
     flat_occ = jnp.any(flat_img != 0.0, axis=-1)
 
-    best_sq = jnp.full(source_points.shape[:1], jnp.inf, dtype=source_points.dtype)
-    best_pix = jnp.zeros(source_points.shape[:1], dtype=jnp.int32)
-    best_ok = jnp.zeros(source_points.shape[:1], dtype=bool)
-
-    for dv in range(-a, a + 1):
+    def body(k, carry):
+        best_sq, best_pix, best_ok = carry
+        dv = k // wu - a
+        du = k % wu - b
         vv = jnp.clip(vi + dv, 0, H - 1)
-        for du in range(-b, b + 1):
-            uu = jnp.mod(ui + du, W)
-            pix = vv * W + uu
-            cand = flat_img[pix]
-            occ = flat_occ[pix]
-            d = cand - source_points
-            sq = jnp.sum(d * d, axis=-1)
-            better = occ & (sq < best_sq)
-            best_sq = jnp.where(better, sq, best_sq)
-            best_pix = jnp.where(better, pix, best_pix)
-            best_ok = best_ok | better
+        uu = jnp.mod(ui + du, W)
+        pix = vv * W + uu
+        cand = flat_img[pix]
+        occ = flat_occ[pix]
+        d = cand - src
+        sq = jnp.sum(d * d, axis=-1)
+        better = occ & (sq < best_sq)
+        return (
+            jnp.where(better, sq, best_sq),
+            jnp.where(better, pix, best_pix),
+            best_ok | better,
+        )
+
+    init = (
+        jnp.full(src.shape[:1], jnp.inf, dtype=src.dtype),
+        jnp.zeros(src.shape[:1], dtype=jnp.int32),
+        jnp.zeros(src.shape[:1], dtype=bool),
+    )
+    _, best_pix, best_ok = jax.lax.fori_loop(0, wv * wu, body, init)
 
     valid = best_ok & source_valid
-    best_pix = jax.lax.stop_gradient(best_pix)
     tgt_pts = jnp.where(valid[:, None], flat_img[best_pix], 0.0)
     tgt_nrm = jnp.where(valid[:, None], flat_nrm[best_pix], 0.0)
-    sq = jnp.where(valid, best_sq, jnp.inf)
+    # Differentiable w.r.t. the (non-detached) source points.
+    d = source_points - tgt_pts
+    sq = jnp.where(valid, jnp.sum(d * d, axis=-1), jnp.inf)
     return Correspondence(tgt_pts, tgt_nrm, valid, sq)
 
 

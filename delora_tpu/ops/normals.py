@@ -118,23 +118,22 @@ def compute_normal_image(image_xyz: jnp.ndarray, spec: NormalsSpec) -> jnp.ndarr
 
 def normals_for_points(
     image_xyz: jnp.ndarray,
-    point_index: jnp.ndarray,
-    survivor: jnp.ndarray,
-    num_points: int,
+    proj,
     spec: NormalsSpec,
 ) -> jnp.ndarray:
     """Compute a normal per *point* for a projected scan.
 
-    Scatters pixel normals back to the surviving points' slots in a padded
-    ``[N, 3]`` array (zeros elsewhere) — the on-disk contract of the
-    reference's preprocessing (preprocesser.py:64-68: per-scan normals array
-    aligned with the deduplicated point list).
+    ``proj`` is the :class:`~delora_tpu.ops.projection.Projection` of the same
+    scan. Each surviving point reads the normal at its own pixel — a pure
+    gather (a scatter formulation serializes on TPU). Non-survivors get the
+    (0, 0, 0) sentinel, preserving the on-disk contract of the reference's
+    preprocessing (preprocesser.py:64-68: per-scan normals array row-aligned
+    with the deduplicated point list).
     """
+    H, W = image_xyz.shape[0], image_xyz.shape[1]
     normal_image = compute_normal_image(image_xyz, spec)          # [H, W, 3]
     flat_normals = normal_image.reshape(-1, 3)
-    flat_index = point_index.reshape(-1)
-    out = jnp.zeros((num_points, 3), dtype=image_xyz.dtype)
-    scatter_idx = jnp.where(flat_index >= 0, flat_index, num_points)
-    out = jnp.concatenate([out, jnp.zeros((1, 3), out.dtype)], axis=0)
-    out = out.at[scatter_idx].set(flat_normals, mode="drop")[:num_points]
-    return out * survivor[:, None]
+    ui = jnp.clip(jnp.round(proj.u).astype(jnp.int32), 0, W - 1)
+    vi = jnp.clip(jnp.round(proj.v).astype(jnp.int32), 0, H - 1)
+    per_point = flat_normals[vi * W + ui]
+    return per_point * proj.survivor[:, None]

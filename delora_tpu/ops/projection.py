@@ -86,20 +86,10 @@ def compute_uv(points: jnp.ndarray, spec: ProjectionSpec):
     return u, v
 
 
-def project_scan(
-    points: jnp.ndarray,
-    valid: jnp.ndarray,
-    spec: ProjectionSpec,
-) -> Projection:
-    """Project one padded scan ``[N, C>=3]`` with validity mask ``[N]``.
-
-    All channels of ``points`` are scattered into the image; range is appended
-    as the final channel (range and (u, v) always derive from channels 0:3).
-    """
+def _pixel_coords(points, valid, spec: ProjectionSpec):
     N = points.shape[0]
     H, W = spec.height, spec.width
     num_pix = H * W
-
     r = jnp.linalg.norm(points[:, :3], axis=-1)
     u, v = compute_uv(points[:, :3], spec)
     ui = jnp.round(u)
@@ -114,32 +104,66 @@ def project_scan(
     )
     ui = jnp.clip(ui.astype(jnp.int32), 0, W - 1)
     vi = jnp.clip(vi.astype(jnp.int32), 0, H - 1)
-    # Out-of-FoV points write to a sentinel segment that is dropped.
+    # Out-of-FoV points get a sentinel pixel id that is dropped.
     pix = jnp.where(in_fov, vi * W + ui, num_pix)
+    return r, u, v, in_fov, pix
 
-    # Closest point per pixel (replaces argsort + numba first-writer-wins).
-    big = jnp.asarray(jnp.inf, dtype=r.dtype)
-    min_range = jax.ops.segment_min(
-        jnp.where(in_fov, r, big), pix, num_segments=num_pix + 1
-    )
-    is_closest = in_fov & (r <= min_range[pix])
+
+def project_scan(
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    spec: ProjectionSpec,
+) -> Projection:
+    """Project one padded scan ``[N, C>=3]`` with validity mask ``[N]``.
+
+    Sort-based implementation — scatter-free. XLA scatters serialize on TPU
+    (measured ~50-80 ms per 131k-point scan), while sorts are fast bitonic
+    networks, so the "scatter with min semantics" is restructured as:
+
+      1. sort point ids by (pixel, range) — the closest point of every pixel
+         becomes the first element of its run,
+      2. winner flags travel back to point order via a second sort over the
+         permutation (cheaper than the scatter it replaces),
+      3. the image and pixel->point map come from a batched binary search
+         (searchsorted) of each pixel id in the sorted pixel array — pure
+         gathers.
+
+    All channels of ``points`` land in the image; range is appended as the
+    final channel (range and (u, v) always derive from channels 0:3).
+    """
+    N = points.shape[0]
+    H, W = spec.height, spec.width
+    num_pix = H * W
+
+    r, u, v, in_fov, pix = _pixel_coords(points, valid, spec)
     point_ids = jnp.arange(N, dtype=jnp.int32)
-    min_id = jax.ops.segment_min(
-        jnp.where(is_closest, point_ids, N), pix, num_segments=num_pix + 1
+
+    # (1) Sort by (pixel, range); ids ride along.
+    sorted_pix, _, sorted_ids = jax.lax.sort(
+        (pix, r, point_ids), num_keys=2
     )
-    survivor = is_closest & (min_id[pix] == point_ids)
+    first_of_run = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_pix[1:] != sorted_pix[:-1]]
+    )
+    winner_sorted = first_of_run & (sorted_pix < num_pix)
 
-    # Build image: each surviving point writes its unique pixel; everyone else
-    # writes the sentinel row which is dropped.
+    # (2) Winner flags back to original point order: sort (ids, flags) by id.
+    _, survivor = jax.lax.sort(
+        (sorted_ids, winner_sorted.astype(jnp.int32)), num_keys=1
+    )
+    survivor = survivor.astype(bool)
+
+    # (3) Per-pixel winner via binary search of pixel ids in sorted_pix.
+    pixel_ids = jnp.arange(num_pix, dtype=pix.dtype)
+    pos = jnp.searchsorted(sorted_pix, pixel_ids, side="left")
+    pos = jnp.minimum(pos, N - 1)
+    found = sorted_pix[pos] == pixel_ids
+    win_ids = jnp.where(found, sorted_ids[pos], 0)
+
     feat = jnp.concatenate([points, r[:, None]], axis=-1)
-    scatter_pix = jnp.where(survivor, pix, num_pix)
-    img_flat = jnp.zeros((num_pix + 1, feat.shape[-1]), dtype=feat.dtype)
-    img_flat = img_flat.at[scatter_pix].set(feat, mode="drop")
-    image = img_flat[:num_pix].reshape(H, W, feat.shape[-1])
-
-    idx_flat = jnp.full((num_pix + 1,), -1, dtype=jnp.int32)
-    idx_flat = idx_flat.at[scatter_pix].set(point_ids, mode="drop")
-    point_index = idx_flat[:num_pix].reshape(H, W)
+    image = jnp.where(found[:, None], feat[win_ids], 0.0)
+    image = image.reshape(H, W, feat.shape[-1])
+    point_index = jnp.where(found, win_ids, -1).reshape(H, W)
 
     return Projection(
         image=image, survivor=survivor, point_index=point_index, u=u, v=v, in_fov=in_fov

@@ -89,8 +89,7 @@ def test_normals_for_points_roundtrip():
     )
     proj = project_scan(jnp.asarray(pts), jnp.asarray(valid), pspec)
     per_point = np.asarray(
-        normals_for_points(proj.image[..., :3], proj.point_index, proj.survivor,
-                           num_points=400, spec=SPEC)
+        normals_for_points(proj.image[..., :3], proj, spec=SPEC)
     )
     survivor = np.asarray(proj.survivor)
     # Non-surviving points must have zero normals.

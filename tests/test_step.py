@@ -48,10 +48,7 @@ def synthetic_batch(seed=0, T_true=None):
     pts2 = ((pts - T_true[:3, 3]) @ T_true[:3, :3]).astype(np.float32)
 
     proj1 = project_scan(jnp.asarray(pts), jnp.asarray(valid), PSPEC)
-    n1 = np.asarray(
-        normals_for_points(proj1.image[..., :3], proj1.point_index,
-                           proj1.survivor, N, NSPEC)
-    )
+    n1 = np.asarray(normals_for_points(proj1.image[..., :3], proj1, NSPEC))
     n2 = (n1 @ T_true[:3, :3]).astype(np.float32)
 
     tile = lambda a: jnp.asarray(np.stack([a] * B))
