@@ -159,12 +159,26 @@ def loss_and_metrics(
         deterministic=False, rngs={"dropout": drop_rng},
     )
 
+    # Only surviving points enter the loss (deployer.py:257-261). Projection
+    # guarantees <= H*W survivors (one winner per pixel), so compact them to
+    # the front and truncate to that bound — correspondence/loss work shrinks
+    # from N (padded, e.g. 131k) to H*W (e.g. 46k) with zero information
+    # loss. Stable argsort keeps the deterministic dedup order.
+    N = batch.points_2.shape[1]
+    cap = min(N, cfg.proj.height * cfg.proj.width)
+
+    def compact(pts, nrm, surv):
+        order = jnp.argsort(jnp.logical_not(surv))[:cap]
+        return pts[order], nrm[order], surv[order]
+
+    pts_c, nrm_c, src_valid = jax.vmap(compact)(
+        batch.points_2, batch.normals_2, proj_2.survivor
+    )
+
     # Warp source points / rotate source normals by the predicted transform
-    # (deployer.py:294-299). Only surviving points enter the loss
-    # (deployer.py:257-261) — handled by masks, not ragged slicing.
-    src_pts = se3.transform_points(T, batch.points_2)
-    src_nrm = se3.rotate_points(T, batch.normals_2)
-    src_valid = proj_2.survivor
+    # (deployer.py:294-299).
+    src_pts = se3.transform_points(T, pts_c)
+    src_nrm = se3.rotate_points(T, nrm_c)
 
     target_normal_image = jax.vmap(gather_image_attribute)(
         batch.normals_1, proj_1.point_index

@@ -89,6 +89,53 @@ class Trainer:
                   f"(epoch {self.start_epoch})")
 
         self._steps: Dict[tuple, callable] = {}
+        self._viz_fns: Dict[str, callable] = {}
+
+    def log_images(self, epoch: int, dataset: str):
+        """Range/normal image panels for visual diagnostics.
+
+        Parity with the reference's per-epoch training-image artifacts
+        (deployer.py:73-100, plotting.py:12-58): target range image, source
+        range image, and the target normal components at a probe pair.
+        """
+        try:
+            import jax.numpy as jnp
+
+            from delora_tpu.ops.projection import (
+                ProjectionSpec, gather_image_attribute, project_scan,
+            )
+            from delora_tpu.utils.plotting import plot_range_image_grid
+
+            if dataset not in self._viz_fns:
+                pspec = ProjectionSpec.from_config(self.config, dataset)
+
+                @jax.jit
+                def viz(p1, v1, n1, p2, v2):
+                    pr1 = project_scan(p1, v1, pspec)
+                    pr2 = project_scan(p2, v2, pspec)
+                    nimg = gather_image_attribute(n1, pr1.point_index)
+                    return pr1.image[..., 3], pr2.image[..., 3], nimg
+
+                self._viz_fns[dataset] = viz
+
+            pair = self.pair_datasets[dataset].get_pair(0)
+            r1, r2, nimg = self._viz_fns[dataset](
+                jnp.asarray(pair["points_1"]), jnp.asarray(pair["valid_1"]),
+                jnp.asarray(pair["normals_1"]), jnp.asarray(pair["points_2"]),
+                jnp.asarray(pair["valid_2"]),
+            )
+            nimg = np.asarray(nimg)
+            path = self.logger.artifact_path(
+                f"images_{dataset}_{epoch:05d}.png"
+            )
+            plot_range_image_grid(
+                [np.asarray(r1), np.asarray(r2),
+                 nimg[..., 0], nimg[..., 1], nimg[..., 2]],
+                ["range t", "range t+1", "normal x", "normal y", "normal z"],
+                path,
+            )
+        except Exception as e:  # diagnostics must never kill training
+            print(f"[trainer] image logging skipped: {e}")
 
     def _step_fn(self, dataset: str):
         key = (dataset, self.supervised)
@@ -151,6 +198,11 @@ class Trainer:
             )
             if jax.process_index() == 0:
                 self.ckpt.save(self.state, epoch, metrics["loss"], self.config)
+                viz_every = int(self.config.get("visualize_every_epochs", 5))
+                if self.config.get("visualize_images", True) and (
+                    epoch % viz_every == 0
+                ):
+                    self.log_images(epoch, self.datasets[0])
 
             # Warmup auto-switch (trainer.py:184-186).
             if self.supervised and metrics["loss"] < 1e-2:
