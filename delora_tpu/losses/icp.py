@@ -35,6 +35,7 @@ class IcpLossConfig(NamedTuple):
     point_to_point: bool = False
     point_to_plane: bool = True
     plane_to_plane: bool = True
+    po2po_alone: bool = False         # ALL pairs, po2po only (icp_losses.py:36-46)
     normal_loss: str = "squared"      # "squared" | "linear"
     lambda_po2pl: float = 1.0
     trim_sq_distance: float = 0.0     # >0: reject pairs with NN dist^2 above
@@ -46,6 +47,7 @@ class IcpLossConfig(NamedTuple):
             point_to_point=bool(config["point_to_point_loss"]),
             point_to_plane=bool(config["point_to_plane_loss"]),
             plane_to_plane=bool(config["plane_to_plane_loss"]),
+            po2po_alone=bool(config.get("po2po_alone", False)),
             normal_loss=str(config["normal_loss"]),
             lambda_po2pl=float(config["lambda_po2pl"]),
             trim_sq_distance=trim * trim,
@@ -73,18 +75,31 @@ def icp_losses(
     if cfg.trim_sq_distance > 0.0:
         pair_ok = pair_ok & (corr.sq_dist <= cfg.trim_sq_distance)
 
+    diff = source_points - corr.target_points                       # [S, 3]
+    zero = jnp.zeros((), dtype=source_points.dtype)
+
+    if cfg.po2po_alone:
+        # Normals ignored entirely: every matched pair contributes po2po
+        # (icp_losses.py:36-46 "po2po_alone" branch).
+        coord_mask = jnp.broadcast_to(pair_ok[:, None], diff.shape)
+        loss_po2po = masked_mse(diff * diff, coord_mask)
+        return {
+            "loss_po2po": loss_po2po,
+            "loss_po2pl": zero,
+            "loss_pl2pl": zero,
+            "num_po2pl_pairs": jnp.sum(pair_ok),
+            "loss_pc": loss_po2po,
+        }
+
     both_normals = pair_ok & source_has_normal & target_has_normal
     neither_normals = pair_ok & ~source_has_normal & ~target_has_normal
 
-    zero = jnp.zeros((), dtype=source_points.dtype)
     losses = {
         "loss_po2po": zero,
         "loss_po2pl": zero,
         "loss_pl2pl": zero,
         "num_po2pl_pairs": jnp.sum(both_normals),
     }
-
-    diff = source_points - corr.target_points                       # [S, 3]
 
     if cfg.point_to_point:
         # Elementwise MSE over the 3 coordinates of each pair (:168-179).

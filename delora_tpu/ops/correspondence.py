@@ -78,13 +78,16 @@ def projective_correspondence(
     vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, H - 1)
     base_pix = vi * W + ui
 
+    # Candidate table holds only what the argmin needs — xyz in bfloat16 plus
+    # occupancy in the sign-free low bits: the gather is byte-bound, so the
+    # selection pass reads a half-width [H*W, K, 4] table; the winner's exact
+    # f32 point + normal come from one narrow follow-up gather of the winning
+    # flat pixel. bf16 xyz only drives the *selection* (~3 decimal digits —
+    # enough to rank candidates); residuals below are exact f32.
     occ = jnp.any(target_image[..., :3] != 0.0, axis=-1, keepdims=True)
     tgt = jnp.concatenate(
-        [target_image[..., :3], target_normal_image,
-         occ.astype(target_image.dtype)],
-        axis=-1,
-    )                                                        # [H, W, 7]
-    C = tgt.shape[-1]
+        [target_image[..., :3], occ.astype(target_image.dtype)], axis=-1
+    ).astype(jnp.bfloat16)                                   # [H, W, 4]
 
     shifted = []
     for dv in range(-a, a + 1):
@@ -100,17 +103,27 @@ def projective_correspondence(
             v_sh = tgt
         for du in range(-b, b + 1):
             shifted.append(jnp.roll(v_sh, -du, axis=1))
-    table = jnp.stack(shifted, axis=2).reshape(H * W, K, C)
+    table = jnp.stack(shifted, axis=2).reshape(H * W, K, 4)
 
-    cand = table[base_pix]                                   # [S, K, C] row gather
-    cand_pts = cand[..., :3]
-    cand_occ = cand[..., 6] > 0.5
-    d = cand_pts - src[:, None, :]
+    cand = table[base_pix].astype(jnp.float32)               # [S, K, 4]
+    d = cand[..., :3] - src[:, None, :]
     sq = jnp.sum(d * d, axis=-1)
-    sq = jnp.where(cand_occ, sq, jnp.inf)                    # [S, K]
-
+    sq = jnp.where(cand[..., 3] > 0.5, sq, jnp.inf)          # [S, K]
     best_k = jnp.argmin(sq, axis=-1)                         # [S]
-    best = jnp.take_along_axis(cand, best_k[:, None, None], axis=1)[:, 0]
+
+    # Winner's exact data: recompute its flat pixel, one narrow gather.
+    dv_w = best_k // wu - a
+    du_w = best_k % wu - b
+    win_pix = (
+        jnp.clip(base_pix // W + dv_w, 0, H - 1) * W
+        + jnp.mod(base_pix % W + du_w, W)
+    )
+    flat = jnp.concatenate(
+        [target_image[..., :3], target_normal_image,
+         occ.astype(target_image.dtype)],
+        axis=-1,
+    ).reshape(H * W, 7)
+    best = flat[win_pix]                                     # [S, 7] f32
     best_occ = best[..., 6] > 0.5
 
     valid = best_occ & source_valid

@@ -154,8 +154,10 @@ def project_scan(
     survivor = survivor.astype(bool)
 
     # (3) Per-pixel winner via binary search of pixel ids in sorted_pix.
+    # method="sort" turns the search into one extra (N + H*W) sort — on TPU
+    # that beats the default scan method's 17 rounds of random gathers.
     pixel_ids = jnp.arange(num_pix, dtype=pix.dtype)
-    pos = jnp.searchsorted(sorted_pix, pixel_ids, side="left")
+    pos = jnp.searchsorted(sorted_pix, pixel_ids, side="left", method="sort")
     pos = jnp.minimum(pos, N - 1)
     found = sorted_pix[pos] == pixel_ids
     win_ids = jnp.where(found, sorted_ids[pos], 0)

@@ -169,7 +169,8 @@ def loss_and_metrics(
 
     def compact(pts, nrm, surv):
         order = jnp.argsort(jnp.logical_not(surv))[:cap]
-        return pts[order], nrm[order], surv[order]
+        both = jnp.concatenate([pts, nrm], axis=-1)[order]  # one fused gather
+        return both[:, :3], both[:, 3:], surv[order]
 
     pts_c, nrm_c, src_valid = jax.vmap(compact)(
         batch.points_2, batch.normals_2, proj_2.survivor

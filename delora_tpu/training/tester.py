@@ -107,14 +107,61 @@ class Tester:
                             {f"t_rel_{tag}": t_rel, f"r_rel_{tag}": r_rel}, step=0
                         )
                 try:
-                    from delora_tpu.utils.plotting import plot_trajectory
+                    from delora_tpu.utils.plotting import (
+                        plot_elevation,
+                        plot_trajectory,
+                        plot_translation_rotation_errors,
+                    )
 
                     plot_trajectory(
                         poses, gt,
                         self.logger.artifact_path(f"map_{tag}_2d.png"),
                         title=tag,
                     )
+                    plot_elevation(
+                        poses, gt, self.logger.artifact_path(f"map_{tag}_y.png")
+                    )
+                    if gt is not None:
+                        plot_translation_rotation_errors(
+                            rel, gt,
+                            self.logger.artifact_path(f"trans_rot_{tag}.png"),
+                        )
                 except Exception as e:
                     print(f"[test] plotting skipped: {e}")
+
+                if not self.config.get("inference_only", True):
+                    losses = self.evaluate_losses(dataset, seq_pos)
+                    print(f"[test] {tag} losses: " + ", ".join(
+                        f"{k}={v:.5f}" for k, v in losses.items()))
+                    self.logger.log_metrics(
+                        {f"{k}_{tag}": v for k, v in losses.items()}, step=0
+                    )
                 results[dataset][seq_id] = metrics
         return results
+
+    def evaluate_losses(self, dataset: str, sequence_index: int):
+        """Mean geometric losses over a sequence (reference tester.py:61-70
+        non-inference path: losses computed during testing, no grads)."""
+        import jax.numpy as jnp
+
+        from delora_tpu.training.step import loss_and_metrics
+
+        ds = ScanPairDataset(self.config, dataset)
+        cfg = StepConfig.from_config(self.config, dataset, supervised=False)
+        fn = jax.jit(
+            lambda params, batch, rng: loss_and_metrics(
+                self.model.apply, params, batch, cfg, rng
+            )[1][0]
+        )
+        pair_ids = [i for i, (si, _) in enumerate(ds.pairs) if si == sequence_index]
+        B = self.batch_size
+        sums, count = {}, 0
+        rng = jax.random.PRNGKey(0)
+        for start in range(0, len(pair_ids), B):
+            chunk = pair_ids[start:start + B]
+            padded = chunk + [chunk[-1]] * (B - len(chunk))
+            m = fn(self.state.params, ds.make_batch(padded), rng)
+            count += 1
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        return {k: v / max(count, 1) for k, v in sums.items()}

@@ -58,6 +58,54 @@ def plot_elevation(poses: np.ndarray, gt_poses: Optional[np.ndarray], path: str)
     plt.close(fig)
 
 
+def plot_translation_rotation_errors(
+    rel_transforms: np.ndarray,
+    gt_poses: Optional[np.ndarray],
+    path: str,
+) -> None:
+    """Per-axis relative translation and ZYX euler rotation, predicted vs GT
+    (plotting.py:166-234 analog). rel_transforms: [K, 4, 4] lidar-frame
+    relative transforms; gt_poses: [K+1, 4, 4] world-frame absolute poses."""
+    from scipy.spatial.transform import Rotation
+
+    from delora_tpu.utils.poses import TRANSFORM_LIDAR_TO_WORLD
+
+    rel = np.asarray(rel_transforms).reshape(-1, 4, 4)
+    rows = 2
+    fig, axes = plt.subplots(rows, 3, figsize=(15, 6))
+
+    pred_t = rel[:, :3, 3]
+    pred_e = Rotation.from_matrix(rel[:, :3, :3]).as_euler("ZYX")
+    gt_t = gt_e = None
+    if gt_poses is not None:
+        L = TRANSFORM_LIDAR_TO_WORLD
+        gt_lidar = np.einsum("ij,kjl,lm->kim", L.T, np.asarray(gt_poses), L)
+        gt_rel = np.stack([
+            np.linalg.inv(gt_lidar[k]) @ gt_lidar[k + 1]
+            for k in range(len(gt_lidar) - 1)
+        ])
+        gt_t = gt_rel[:, :3, 3]
+        gt_e = Rotation.from_matrix(gt_rel[:, :3, :3]).as_euler("ZYX")
+
+    for i, name in enumerate("xyz"):
+        axes[0, i].plot(pred_t[:, i], label="pred", linewidth=0.8)
+        if gt_t is not None:
+            axes[0, i].plot(gt_t[: len(pred_t), i], label="gt",
+                            linewidth=0.8, alpha=0.7)
+        axes[0, i].set_ylabel(f"t_{name} [m]")
+        axes[0, i].legend(fontsize=7)
+    for i, name in enumerate(("yaw", "pitch", "roll")):
+        axes[1, i].plot(np.rad2deg(pred_e[:, i]), label="pred", linewidth=0.8)
+        if gt_e is not None:
+            axes[1, i].plot(np.rad2deg(gt_e[: len(pred_e), i]), label="gt",
+                            linewidth=0.8, alpha=0.7)
+        axes[1, i].set_ylabel(f"{name} [deg]")
+        axes[1, i].legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
 def plot_range_image_grid(images, labels, path: str):
     """Stacked single-channel image panels (plotting.py:12-58 analog).
 

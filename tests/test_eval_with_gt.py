@@ -1,0 +1,82 @@
+"""Evaluation against ground truth on a simulated world: t_rel metric,
+per-axis error plots, and the tester's loss-evaluation path
+(inference_only=False)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from delora_tpu.config import load_config
+from delora_tpu.data.synthetic import write_kitti_layout
+
+
+@pytest.fixture(scope="module")
+def gt_world(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("gtworld")
+    # Long enough to pass the 100 m minimum subsequence: 130 scans x 1.0 m.
+    write_kitti_layout(str(tmp / "raw"), n_scans=130, rings=12,
+                       azimuth_steps=180, step=1.0)
+    config = load_config(overrides={
+        "datasets": ["kitti"],
+        "kitti": {
+            "training_identifiers": [0], "testing_identifiers": [0],
+            "vertical_cells": 12, "horizontal_cells": 90,
+            "horizontal_cells_preprocessing": 180,
+            "max_points": 2048, "neighborhood_side_length": [5, 7],
+            "data_path": str(tmp / "raw" / "sequences"),
+            "preprocessed_path": str(tmp / "pre"),
+            "pose_data_path": str(tmp / "raw" / "poses"),
+        },
+        "batch_size": 4,
+        "resnet_outputs": 16,
+        "layers": [1, 1, 1, 1],
+        "factor_fewer_resnet_channels": 32,
+        "compute_dtype": "float32",
+        "log_dir": str(tmp / "runs"),
+        "epsilon_range": 1.0,
+        "inference_only": False,
+    }, mode="testing")
+    from delora_tpu.data.preprocess import Preprocessor
+
+    Preprocessor(config).run_dataset("kitti", progress=False)
+    return tmp, config
+
+
+def test_tester_reports_metric_losses_and_plots(gt_world):
+    tmp, config = gt_world
+    import jax.numpy as jnp
+
+    from delora_tpu.models.odometry import ModelConfig, OdometryModel
+    from delora_tpu.training.state import create_train_state
+    from delora_tpu.training.tester import Tester
+
+    model = OdometryModel(ModelConfig.from_config(config))
+    state = create_train_state(model, config, jnp.zeros((4, 12, 90, 4)))
+    tester = Tester(config, state=state, run_name="gt_eval")
+    results = tester.test()
+
+    # Ground truth exists and the trajectory is > 100 m -> a t_rel number.
+    metrics = results["kitti"][0]
+    assert metrics is not None
+    t_rel, r_rel = metrics
+    assert 0.0 < t_rel < 500.0          # untrained model: bad but finite
+    assert r_rel >= 0.0
+
+    art = str(tmp / "runs" / config["experiment"] / "gt_eval" / "artifacts")
+    assert os.path.exists(os.path.join(art, "map_kitti_00_2d.png"))
+    assert os.path.exists(os.path.join(art, "map_kitti_00_y.png"))
+    assert os.path.exists(os.path.join(art, "trans_rot_kitti_00.png"))
+
+
+def test_identity_odometry_baseline_metric(gt_world):
+    """The identity-odometry t_rel on a 1 m/scan forward drive must be ~100%
+    (predicting zero motion misses all of it) — metric sanity anchor."""
+    tmp, config = gt_world
+    from delora_tpu.data.pose_data import load_kitti_poses
+    from delora_tpu.utils import poses as P
+
+    gt = load_kitti_poses(config, "kitti", 0)
+    ident = np.tile(np.eye(4), (len(gt), 1, 1))
+    t_rel, r_rel = P.kitti_benchmark_summary(gt, ident)
+    assert 80.0 < t_rel <= 110.0

@@ -119,3 +119,28 @@ def test_alignment_gives_zero_loss():
         make_corr(src, nrm, valid), IcpLossConfig(),
     )
     assert float(out["loss_pc"]) < 1e-10
+
+
+def test_po2po_alone_mode():
+    """po2po_alone: normals ignored, every matched pair contributes po2po
+    (reference icp_losses.py:36-46)."""
+    rng = np.random.default_rng(5)
+    S = 48
+    src = rng.normal(size=(S, 3)).astype(np.float32)
+    nrm = rng.normal(size=(S, 3)).astype(np.float32)  # present but ignored
+    tgt = src + 0.2
+    tgt_nrm = rng.normal(size=(S, 3)).astype(np.float32)
+    valid = np.ones(S, dtype=bool)
+    valid[40:] = False
+
+    cfg = IcpLossConfig(po2po_alone=True)
+    out = icp_losses(
+        jnp.asarray(src), jnp.asarray(nrm), jnp.asarray(valid),
+        make_corr(tgt, tgt_nrm, valid), cfg,
+    )
+    ref = np.mean((src[:40] - tgt[:40]) ** 2)
+    assert np.isclose(float(out["loss_po2po"]), ref, rtol=1e-5)
+    assert float(out["loss_po2pl"]) == 0.0
+    assert float(out["loss_pl2pl"]) == 0.0
+    assert np.isclose(float(out["loss_pc"]), ref, rtol=1e-5)
+    assert int(out["num_po2pl_pairs"]) == 40
