@@ -41,6 +41,9 @@ def sync(x):
 
 
 def main():
+    from delora_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from delora_tpu.losses.icp import IcpLossConfig
     from delora_tpu.models.odometry import ModelConfig, OdometryModel
     from delora_tpu.ops.projection import ProjectionSpec

@@ -89,6 +89,9 @@ def cmd_preprocess(args):
 
     pre = Preprocessor(config)
     for dataset in config["datasets"]:
+        if args.preview:
+            pre.preview(dataset)
+            continue
         n = pre.run_dataset(dataset, max_scans=args.max_scans)
         print(f"[preprocess] {dataset}: {n} scans written")
 
@@ -126,6 +129,8 @@ def main(argv: Optional[list] = None):
     p = sub.add_parser("preprocess", help="raw scans -> dedup points + normals")
     _common_flags(p)
     p.add_argument("--max-scans", type=int, default=None)
+    p.add_argument("--preview", action="store_true",
+                   help="render the first scan's range/normal images and stop")
     p.set_defaults(fn=cmd_preprocess)
 
     p = sub.add_parser("bench", help="run the benchmark suite")
@@ -138,6 +143,9 @@ def main(argv: Optional[list] = None):
     p.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)
+    from delora_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args.fn(args)
 
 

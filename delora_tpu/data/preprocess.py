@@ -75,6 +75,38 @@ class Preprocessor:
         normal_out = np.asarray(normals)[survivor]
         return scan_out, normal_out, dropped
 
+    def preview(self, dataset: str, sequence: Optional[int] = None,
+                out_path: str = "/tmp/preprocess_preview.png") -> str:
+        """Render the first scan's range + normal images and stop.
+
+        Parity with the reference's single-image preprocessing preview
+        (preprocesser.py:54-57, deployment_options.yaml
+        ``visualize_single_img_preprocessing``).
+        """
+        import jax.numpy as jnp
+
+        from delora_tpu.ops.normals import compute_normal_image
+        from delora_tpu.ops.projection import project_scan
+        from delora_tpu.utils.plotting import plot_range_image_grid
+
+        spec = self.config[dataset]
+        pspec = ProjectionSpec.from_config(self.config, dataset, preprocessing=True)
+        nspec = NormalsSpec.from_config(self.config, dataset)
+        seq = sequence if sequence is not None else spec["data_identifiers"][0]
+        raw = next(iter(self._make_reader(dataset, seq)))
+        capacity = int(spec["max_points"])
+        points, valid, _ = self._pad_points(raw[:, :3].astype(np.float32), capacity)
+        proj = project_scan(jnp.asarray(points), jnp.asarray(valid), pspec)
+        nimg = np.asarray(compute_normal_image(proj.image[..., :3], nspec))
+        plot_range_image_grid(
+            [np.asarray(proj.image[..., 3]), nimg[..., 0], nimg[..., 1],
+             nimg[..., 2]],
+            ["range", "normal x", "normal y", "normal z"],
+            out_path,
+        )
+        print(f"[preprocess] preview -> {out_path}")
+        return out_path
+
     def run_dataset(
         self,
         dataset: str,

@@ -177,6 +177,74 @@ def project_batch(points: jnp.ndarray, valid: jnp.ndarray, spec: ProjectionSpec)
     return jax.vmap(lambda p, m: project_scan(p, m, spec))(points, valid)
 
 
+class CompactProjection(NamedTuple):
+    """Projection + survivor compaction fused (training source-scan path).
+
+    image / point_index / u / v: as in :class:`Projection`.
+    ids:   [cap] int32 — original indices of the surviving points, compacted
+           to the front (cap = min(N, H*W); there is at most one survivor per
+           pixel). Padding slots repeat arbitrary ids; mask with ``mask``.
+    mask:  [cap] bool — slot holds a real survivor.
+    """
+
+    image: jnp.ndarray
+    point_index: jnp.ndarray
+    ids: jnp.ndarray
+    mask: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
+
+
+def project_scan_compact(
+    points: jnp.ndarray, valid: jnp.ndarray, spec: ProjectionSpec
+) -> CompactProjection:
+    """:func:`project_scan` variant that returns survivors front-compacted.
+
+    Saves one full sort vs. ``project_scan`` + a separate argsort compaction:
+    winner flags never travel back to original point order — they are sorted
+    (winners first, stable) together with the original ids directly.
+    """
+    N = points.shape[0]
+    H, W = spec.height, spec.width
+    num_pix = H * W
+    cap = min(N, num_pix)
+
+    r, u, v, in_fov, pix = _pixel_coords(points, valid, spec)
+    point_ids = jnp.arange(N, dtype=jnp.int32)
+
+    sorted_pix, _, sorted_ids = jax.lax.sort((pix, r, point_ids), num_keys=2)
+    first_of_run = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_pix[1:] != sorted_pix[:-1]]
+    )
+    winner_sorted = first_of_run & (sorted_pix < num_pix)
+
+    # Winners to the front (stable), ids riding along; the mask is just a
+    # prefix of length sum(winners) — no third sort operand needed.
+    _, comp_ids = jax.lax.sort(
+        (jnp.logical_not(winner_sorted).astype(jnp.int32), sorted_ids),
+        num_keys=1,
+    )
+    comp_ids = comp_ids[:cap]
+    num_winners = jnp.sum(winner_sorted.astype(jnp.int32))
+    comp_mask = jnp.arange(cap, dtype=jnp.int32) < num_winners
+
+    pixel_ids = jnp.arange(num_pix, dtype=pix.dtype)
+    pos = jnp.searchsorted(sorted_pix, pixel_ids, side="left", method="sort")
+    pos = jnp.minimum(pos, N - 1)
+    found = sorted_pix[pos] == pixel_ids
+    win_ids = jnp.where(found, sorted_ids[pos], 0)
+
+    feat = jnp.concatenate([points, r[:, None]], axis=-1)
+    image = jnp.where(found[:, None], feat[win_ids], 0.0)
+    image = image.reshape(H, W, feat.shape[-1])
+    point_index = jnp.where(found, win_ids, -1).reshape(H, W)
+
+    return CompactProjection(
+        image=image, point_index=point_index, ids=comp_ids, mask=comp_mask,
+        u=u, v=v,
+    )
+
+
 def gather_image_attribute(attr: jnp.ndarray, point_index: jnp.ndarray) -> jnp.ndarray:
     """Per-point attribute ``[N, C]`` -> per-pixel image ``[H, W, C]``.
 

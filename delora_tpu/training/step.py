@@ -37,6 +37,7 @@ from delora_tpu.ops.projection import (
     compute_uv,
     gather_image_attribute,
     project_scan,
+    project_scan_compact,
 )
 
 
@@ -150,7 +151,16 @@ def loss_and_metrics(
     if cfg.normalization_scaling:
         batch, scale = _pair_normalization(batch)
 
-    proj_1, proj_2 = _image_pair(batch, cfg)
+    proj_1 = jax.vmap(lambda p, m: project_scan(p, m, cfg.proj))(
+        batch.points_1, batch.valid_1
+    )
+    # Source scan: projection fused with survivor compaction. Only surviving
+    # points enter the loss (deployer.py:257-261); projection guarantees
+    # <= H*W survivors (one winner per pixel), so correspondence/loss work
+    # shrinks from N (padded, e.g. 131k) to H*W (e.g. 46k) losslessly.
+    proj_2 = jax.vmap(lambda p, m: project_scan_compact(p, m, cfg.proj))(
+        batch.points_2, batch.valid_2
+    )
     image_1 = proj_1.image                                   # [B, H, W, 4]
     image_2 = proj_2.image
 
@@ -159,22 +169,14 @@ def loss_and_metrics(
         deterministic=False, rngs={"dropout": drop_rng},
     )
 
-    # Only surviving points enter the loss (deployer.py:257-261). Projection
-    # guarantees <= H*W survivors (one winner per pixel), so compact them to
-    # the front and truncate to that bound — correspondence/loss work shrinks
-    # from N (padded, e.g. 131k) to H*W (e.g. 46k) with zero information
-    # loss. Stable argsort keeps the deterministic dedup order.
-    N = batch.points_2.shape[1]
-    cap = min(N, cfg.proj.height * cfg.proj.width)
+    def compact(pts, nrm, ids, mask):
+        both = jnp.concatenate([pts, nrm], axis=-1)[ids]    # one fused gather
+        return both[:, :3] * mask[:, None], both[:, 3:] * mask[:, None]
 
-    def compact(pts, nrm, surv):
-        order = jnp.argsort(jnp.logical_not(surv))[:cap]
-        both = jnp.concatenate([pts, nrm], axis=-1)[order]  # one fused gather
-        return both[:, :3], both[:, 3:], surv[order]
-
-    pts_c, nrm_c, src_valid = jax.vmap(compact)(
-        batch.points_2, batch.normals_2, proj_2.survivor
+    pts_c, nrm_c = jax.vmap(compact)(
+        batch.points_2, batch.normals_2, proj_2.ids, proj_2.mask
     )
+    src_valid = proj_2.mask
 
     # Warp source points / rotate source normals by the predicted transform
     # (deployer.py:294-299).

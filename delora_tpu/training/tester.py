@@ -121,6 +121,13 @@ class Tester:
                     plot_elevation(
                         poses, gt, self.logger.artifact_path(f"map_{tag}_y.png")
                     )
+                    from delora_tpu.utils.plotting import plot_trajectory_3d
+
+                    plot_trajectory_3d(
+                        poses, gt,
+                        self.logger.artifact_path(f"map_{tag}_3d.png"),
+                        title=tag,
+                    )
                     if gt is not None:
                         plot_translation_rotation_errors(
                             rel, gt,

@@ -44,6 +44,27 @@ def plot_trajectory(
     plt.close(fig)
 
 
+def plot_trajectory_3d(
+    poses: np.ndarray, gt_poses: Optional[np.ndarray], path: str, title: str = ""
+) -> None:
+    """3D predicted-vs-GT path (plotting.py:137-146 analog)."""
+    fig = plt.figure(figsize=(9, 8))
+    ax = fig.add_subplot(projection="3d")
+    ax.plot(poses[:, 0, 3], poses[:, 2, 3], poses[:, 1, 3],
+            label="predicted", linewidth=1.0)
+    if gt_poses is not None:
+        ax.plot(gt_poses[:, 0, 3], gt_poses[:, 2, 3], gt_poses[:, 1, 3],
+                label="groundtruth", linewidth=1.0, alpha=0.8)
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("z [m]")
+    ax.set_zlabel("y [m]")
+    ax.set_title(title)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
 def plot_elevation(poses: np.ndarray, gt_poses: Optional[np.ndarray], path: str):
     """Elevation (y) over scan index (plotting.py:147-163)."""
     fig, ax = plt.subplots(figsize=(10, 4))

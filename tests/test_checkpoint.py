@@ -54,3 +54,25 @@ def test_embedded_config_reader(tmp_path):
     mgr.save(state, epoch=0, loss=0.5, config={"activation_fct": "tanh"})
     cfg = CheckpointManager.embedded_config(str(tmp_path / "latest"))
     assert cfg["activation_fct"] == "tanh"
+
+
+def test_linear_lr_scaling():
+    from delora_tpu.training.state import make_optimizer
+
+    base = {"learning_rate": 1e-5, "lr_scaling": "none"}
+    linear = {"learning_rate": 1e-5, "lr_scaling": "linear",
+              "lr_scaling_base_batch": 32}
+    import optax
+
+    # Compare the effective step size on an identity gradient.
+    def effective_lr(config, batch):
+        tx = make_optimizer(config, batch)
+        params = {"w": np.ones(4, np.float32)}
+        state = tx.init(params)
+        grads = {"w": np.ones(4, np.float32)}
+        updates, _ = tx.update(grads, state, params)
+        return float(-updates["w"][0])
+
+    lr_none = effective_lr(base, 4096)
+    lr_lin = effective_lr(linear, 4096)
+    assert np.isclose(lr_lin / lr_none, 4096 / 32, rtol=1e-4)

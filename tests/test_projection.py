@@ -127,3 +127,22 @@ def test_gather_image_attribute():
     for vv, uu in zip(*np.nonzero(pidx >= 0)):
         np.testing.assert_allclose(img_attr[vv, uu], attr[pidx[vv, uu]], atol=1e-6)
     assert np.all(img_attr[pidx < 0] == 0.0)
+
+
+def test_project_scan_compact_matches_project_scan():
+    from delora_tpu.ops.projection import project_scan_compact
+
+    pts, valid = make_cloud(seed=7)
+    full = project_scan(jnp.asarray(pts), jnp.asarray(valid), SPEC)
+    comp = project_scan_compact(jnp.asarray(pts), jnp.asarray(valid), SPEC)
+
+    np.testing.assert_allclose(np.asarray(comp.image), np.asarray(full.image))
+    np.testing.assert_array_equal(
+        np.asarray(comp.point_index), np.asarray(full.point_index))
+    # Compacted ids == the survivor set, each exactly once, mask aligned.
+    survivors = set(np.nonzero(np.asarray(full.survivor))[0].tolist())
+    ids = np.asarray(comp.ids)
+    mask = np.asarray(comp.mask)
+    assert mask.sum() == len(survivors)
+    assert set(ids[mask].tolist()) == survivors
+    assert not mask[mask.argmin():].any()  # mask is front-compacted
