@@ -161,8 +161,10 @@ class Trainer:
         return shard_batch(batch, self.mesh)
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
-        sums: Dict[str, float] = {}
-        count = 0
+        # Metrics stay on device until the epoch ends: a single readback per
+        # metric instead of one per step (each synchronous readback costs a
+        # full host<->device round trip, which dominates on relayed TPUs).
+        per_step = []
         rng = jax.random.PRNGKey(hash((epoch, 0x5EED)) & 0x7FFFFFFF)
         t0 = time.time()
         for dataset in self.datasets:
@@ -172,12 +174,14 @@ class Trainer:
                 self.state, metrics = step(
                     self.state, self._shard_batch(batch), step_rng
                 )
-                count += 1
-                for k, v in metrics.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
+                per_step.append(metrics)
+        count = len(per_step)
         if count == 0:
             raise RuntimeError("No batches produced — dataset smaller than batch?")
-        out = {k: v / count for k, v in sums.items()}
+        out = {
+            k: float(jnp.mean(jnp.stack([m[k] for m in per_step])))
+            for k in per_step[0]
+        }
         out["steps"] = count
         out["epoch_seconds"] = time.time() - t0
         out["scan_pairs_per_sec"] = count * self.batch_size / out["epoch_seconds"]
@@ -197,7 +201,9 @@ class Trainer:
                 f"supervised={self.supervised}"
             )
             if jax.process_index() == 0:
-                self.ckpt.save(self.state, epoch, metrics["loss"], self.config)
+                ckpt_every = int(self.config.get("checkpoint_every_epochs", 1))
+                if epoch % max(ckpt_every, 1) == 0 or epoch == epochs - 1:
+                    self.ckpt.save(self.state, epoch, metrics["loss"], self.config)
                 viz_every = int(self.config.get("visualize_every_epochs", 5))
                 if self.config.get("visualize_images", True) and (
                     epoch % viz_every == 0

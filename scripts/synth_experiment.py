@@ -33,6 +33,9 @@ def main():
     from delora_tpu.config import load_config
     from delora_tpu.data.preprocess import Preprocessor
     from delora_tpu.data.synthetic import write_kitti_layout
+    from delora_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     os.makedirs(args.workdir, exist_ok=True)
     raw = os.path.join(args.workdir, "raw")
@@ -64,9 +67,11 @@ def main():
         overrides.update({"resnet_outputs": 128, "layers": [1, 1, 1, 1],
                           "factor_fewer_resnet_channels": 4})
 
+    import glob
+
     config = load_config(overrides=overrides, mode="preprocessing")
     pre_marker = os.path.join(args.workdir, "preprocessed", "00", "scans")
-    if not os.path.exists(pre_marker):
+    if len(glob.glob(os.path.join(pre_marker, "*.npy"))) < args.scans:
         print("[synth] preprocessing ...")
         Preprocessor(config).run_dataset("kitti", progress=True)
 

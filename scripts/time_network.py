@@ -18,6 +18,9 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 from delora_tpu.models.odometry import ModelConfig, OdometryModel  # noqa: E402
+from delora_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 
 def main():
