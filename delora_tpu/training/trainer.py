@@ -155,7 +155,9 @@ class Trainer:
 
     def _shard_batch(self, batch):
         if self.mesh is None:
-            return batch
+            # Async host->device copy (device_put returns immediately);
+            # overlaps with in-flight compute under the prefetch queue.
+            return jax.device_put(batch)
         from delora_tpu.parallel.pjit_step import shard_batch
 
         return shard_batch(batch, self.mesh)
@@ -164,17 +166,30 @@ class Trainer:
         # Metrics stay on device until the epoch ends: a single readback per
         # metric instead of one per step (each synchronous readback costs a
         # full host<->device round trip, which dominates on relayed TPUs).
+        # Batches are pushed to the device `prefetch_depth` ahead so the
+        # host->device copy of batch k+1 overlaps the compute of batch k.
+        from collections import deque
+
         per_step = []
         rng = jax.random.PRNGKey(hash((epoch, 0x5EED)) & 0x7FFFFFFF)
         t0 = time.time()
+        depth = max(1, int(self.config.get("prefetch_depth", 2)))
         for dataset in self.datasets:
             step = self._step_fn(dataset)
-            for batch in self.loaders[dataset].epoch(epoch):
+            pending = deque()
+
+            def run_one(device_batch):
+                nonlocal rng
                 rng, step_rng = jax.random.split(rng)
-                self.state, metrics = step(
-                    self.state, self._shard_batch(batch), step_rng
-                )
+                self.state, metrics = step(self.state, device_batch, step_rng)
                 per_step.append(metrics)
+
+            for batch in self.loaders[dataset].epoch(epoch):
+                pending.append(self._shard_batch(batch))  # async device copy
+                if len(pending) >= depth:
+                    run_one(pending.popleft())
+            while pending:
+                run_one(pending.popleft())
         count = len(per_step)
         if count == 0:
             raise RuntimeError("No batches produced — dataset smaller than batch?")
