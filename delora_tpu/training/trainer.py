@@ -81,11 +81,19 @@ class Trainer:
         self.logger.log_params(self.config)
         self.start_epoch = 0
 
-        if config.get("checkpoint"):
-            self.state, meta = self.ckpt.restore(self.state, config["checkpoint"])
+        checkpoint = config.get("checkpoint")
+        if not checkpoint and config.get("auto_resume", False):
+            import os
+
+            latest = os.path.join(self.ckpt.directory, "latest")
+            if os.path.exists(latest):
+                checkpoint = "latest"
+                print("[trainer] auto_resume: found existing 'latest' checkpoint")
+        if checkpoint:
+            self.state, meta = self.ckpt.restore(self.state, checkpoint)
             self.start_epoch = int(meta.get("epoch", -1)) + 1
             self.supervised = False  # pretrained -> straight to unsupervised
-            print(f"[trainer] resumed from {config['checkpoint']} "
+            print(f"[trainer] resumed from {checkpoint} "
                   f"(epoch {self.start_epoch})")
 
         self._steps: Dict[tuple, callable] = {}
@@ -204,8 +212,15 @@ class Trainer:
 
     def train(self, max_epochs: Optional[int] = None):
         epochs = int(max_epochs or self.config.get("epochs", 10000))
+        profile_epochs = set(self.config.get("profile_epochs", []) or [])
         for epoch in range(self.start_epoch, epochs):
-            metrics = self.train_epoch(epoch)
+            if epoch in profile_epochs:
+                from delora_tpu.utils.profiling import trace
+
+                with trace(self.logger.artifact_path("profile")):
+                    metrics = self.train_epoch(epoch)
+            else:
+                metrics = self.train_epoch(epoch)
             metrics["supervised"] = float(self.supervised)
             self.logger.log_metrics(metrics, step=epoch)
             print(

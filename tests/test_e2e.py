@@ -139,3 +139,14 @@ def test_testing_produces_trajectory(pipeline_dir):
         from delora_tpu.utils.poses import check_validity_so3
 
         assert check_validity_so3(p[:3, :3], atol=1e-4)
+
+
+def test_auto_resume(pipeline_dir):
+    """auto_resume picks up the latest checkpoint without an explicit path."""
+    config = e2e_config(pipeline_dir)
+    config["auto_resume"] = True
+    from delora_tpu.training.trainer import Trainer
+
+    trainer = Trainer(config, run_name="e2e_auto")
+    assert trainer.start_epoch >= 1       # found the earlier run's checkpoint
+    assert trainer.supervised is False
