@@ -126,3 +126,36 @@ def test_missing_dataset_raises(tmp_path):
     config = tiny_config(tmp_path / "nonexistent")
     with pytest.raises(FileNotFoundError):
         ScanPairDataset(config, "kitti")
+
+
+def test_export_kitti_sequence_script(tmp_path):
+    """KITTI .bin -> bag-export .npy layout (convert_kitti_to_rosbag analog):
+    filtering matches the reference's bag-read filtering and the output is
+    consumable by RosbagSequenceReader."""
+    import subprocess
+    import sys as _sys
+
+    vdir = tmp_path / "velodyne"
+    vdir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        pts = (rng.standard_normal((200, 4)) * 10).astype(np.float32)
+        pts[:3] = 0.0          # zero points must be dropped
+        pts[3:5, :3] = np.nan  # NaN points must be dropped
+        pts.tofile(str(vdir / f"{i:06d}.bin"))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts", "export_kitti_sequence.py"),
+         str(vdir), str(tmp_path / "export"), "--sequence", "07"],
+        check=True,
+    )
+    out = np.load(str(tmp_path / "export" / "07" / "000000.npy"))
+    assert out.shape[1] == 3 and out.dtype == np.float32
+    assert np.isfinite(out).all()
+    assert (np.linalg.norm(out, axis=-1) >= 0.3).all()
+
+    from delora_tpu.data.rosbag import RosbagSequenceReader
+
+    reader = RosbagSequenceReader(str(tmp_path / "export"), 7)
+    assert sum(1 for _ in reader) == 2
