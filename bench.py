@@ -5,10 +5,15 @@ Prints ONE JSON line:
   {"metric": "scan_pairs_per_sec_per_chip", "value": N, "unit": "pairs/s",
    "vs_baseline": R}
 
-The measured program is the complete hot path — projection (scatter-min
-dedup), model forward (circular ResNet), quaternion->SE(3), source warp,
-projective correspondence, masked ICP losses, backward, Adam — as one jitted
-XLA program, i.e. exactly what `delora train` executes per step.
+The measured program is the complete hot path — source projection
+(scatter-min dedup), model forward (circular ResNet), quaternion->SE(3),
+source warp, projective correspondence, masked ICP losses, backward, Adam —
+as one jitted XLA program, i.e. exactly what `delora train` executes per
+step. Target-side projections are fed from the per-scan host cache
+(delora_tpu/ops/projection_host.py), which is the trainer's default: they
+are epoch-invariant, so steady-state training never recomputes them. The
+fully uncached step (both scans projected on device every step) is also
+timed and reported on stderr.
 
 vs_baseline: the reference (leggedrobotics/delora) publishes no training
 throughput (BASELINE.md); its hot loop is batch-size-1 with >=4 host<->device
@@ -47,8 +52,15 @@ def main():
     from delora_tpu.losses.icp import IcpLossConfig
     from delora_tpu.models.odometry import ModelConfig, OdometryModel
     from delora_tpu.ops.projection import ProjectionSpec
+    from delora_tpu.ops.projection_host import target_artifacts_np
     from delora_tpu.training.state import create_train_state
-    from delora_tpu.training.step import ScanPairBatch, StepConfig, make_train_step
+    from delora_tpu.training.step import (
+        CachedTargetBatch,
+        ScanPairBatch,
+        StepConfig,
+        make_train_step,
+        make_train_step_cached,
+    )
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     H, W = 64, 720
@@ -106,9 +118,57 @@ def main():
         state, metrics = step(state, batch, jax.random.PRNGKey(100 + k))
     sync(metrics["loss"])
     elapsed = time.time() - t0
+    uncached_pps = K * B / elapsed
+    log(f"uncached: {K} steps x {B} pairs in {elapsed:.2f}s -> "
+        f"{uncached_pps:.2f} pairs/s ({elapsed / K * 1000:.1f} ms/step)")
+
+    # Trainer default: cached target projections (computed once per scan on
+    # the host, reused every epoch) — the steady-state training path.
+    arts = [target_artifacts_np(p1[b], n1[b], v1[b], pspec) for b in range(B)]
+    cbatch = CachedTargetBatch(
+        image_1=jnp.asarray(np.stack([a[0] for a in arts])),
+        normal_image_1=jnp.asarray(np.stack([a[1] for a in arts])),
+        mean_range_1=jnp.asarray(np.asarray([a[2] for a in arts], np.float32)),
+        points_2=batch.points_2, normals_2=batch.normals_2,
+        valid_2=batch.valid_2,
+    )
+    cstep = make_train_step_cached(model, cfg, donate=True)
+    t0 = time.time()
+    state, metrics = cstep(state, cbatch, jax.random.PRNGKey(2))
+    state, metrics = cstep(state, cbatch, jax.random.PRNGKey(3))
+    sync(metrics["loss"])
+    log(f"cached-step compile+warmup: {time.time() - t0:.1f}s; "
+        f"loss={float(metrics['loss']):.5f}")
+    t0 = time.time()
+    for k in range(K):
+        state, metrics = cstep(state, cbatch, jax.random.PRNGKey(200 + k))
+    sync(metrics["loss"])
+    elapsed = time.time() - t0
     pairs_per_sec = K * B / elapsed
-    log(f"{K} steps x {B} pairs in {elapsed:.2f}s -> "
+    log(f"cached:   {K} steps x {B} pairs in {elapsed:.2f}s -> "
         f"{pairs_per_sec:.2f} pairs/s ({elapsed / K * 1000:.1f} ms/step)")
+
+    # Gather-free image-space correspondence (correspondence: "image") on the
+    # cached-target path — the fastest configuration.
+    icfg = cfg._replace(correspondence="image")
+    istep = make_train_step_cached(model, icfg, donate=True)
+    t0 = time.time()
+    state, metrics = istep(state, cbatch, jax.random.PRNGKey(4))
+    state, metrics = istep(state, cbatch, jax.random.PRNGKey(5))
+    sync(metrics["loss"])
+    log(f"image-step compile+warmup: {time.time() - t0:.1f}s; "
+        f"loss={float(metrics['loss']):.5f}")
+    t0 = time.time()
+    for k in range(K):
+        state, metrics = istep(state, cbatch, jax.random.PRNGKey(300 + k))
+    sync(metrics["loss"])
+    elapsed = time.time() - t0
+    image_pps = K * B / elapsed
+    log(f"image:    {K} steps x {B} pairs in {elapsed:.2f}s -> "
+        f"{image_pps:.2f} pairs/s ({elapsed / K * 1000:.1f} ms/step)")
+    # Headline = the default-config training path (cached targets +
+    # `correspondence` from hyperparameters.yaml). If the default flips to
+    # image-space after quality validation, pairs_per_sec above moves with it.
 
     # Diagnostic: single-scan inference latency (10 Hz budget check).
     from delora_tpu.training.step import make_infer_step

@@ -21,7 +21,7 @@ from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from delora_tpu.training.step import ScanPairBatch
+from delora_tpu.training.step import CachedTargetBatch, ScanPairBatch
 
 
 class ScanPairDataset:
@@ -57,6 +57,8 @@ class ScanPairDataset:
         for si, scans in enumerate(self.scan_files):
             self.pairs.extend((si, k) for k in range(len(scans) - 1))
 
+        self._target_cache: Dict[Tuple[int, int], Tuple] = {}
+        self._proj_spec = None
         self._cache: Dict[Tuple[int, int], Tuple[np.ndarray, ...]] = {}
         if self.cache_in_ram:
             for si, scans in enumerate(self.scan_files):
@@ -104,6 +106,50 @@ class ScanPairDataset:
             normals_2=stack("normals_2"), valid_2=stack("valid_2"),
         )
 
+    # ---- cached-target path -------------------------------------------------
+    # A scan's target-side projection artifacts (range image, normal image,
+    # mean range) are epoch-invariant, so they are computed once per scan on
+    # the host and reused for every pair/epoch (see
+    # delora_tpu/ops/projection_host.py). Roughly 1.3 MB/scan at KITTI train
+    # resolution — the same RAM-for-speed trade as the reference's
+    # store_dataset_in_RAM (reference src/data/dataset.py:82-112).
+
+    def _target_artifacts(self, seq_index: int, scan_index: int):
+        key = (seq_index, scan_index)
+        cached = self._target_cache.get(key)
+        if cached is None:
+            from delora_tpu.ops.projection import ProjectionSpec
+            from delora_tpu.ops.projection_host import target_artifacts_np
+
+            if self._proj_spec is None:
+                self._proj_spec = ProjectionSpec.from_config(
+                    self.config, self.dataset
+                )
+            pts, nrm, msk = self._get_scan(seq_index, scan_index)
+            cached = target_artifacts_np(pts, nrm, msk, self._proj_spec)
+            self._target_cache[key] = cached
+        return cached
+
+    def make_cached_batch(self, indices) -> CachedTargetBatch:
+        """Batch with precomputed target images (projective training path)."""
+        img, nimg, mr, p2, n2, v2 = [], [], [], [], [], []
+        for i in indices:
+            si, k = self.pairs[int(i)]
+            image, normal_image, mean_range = self._target_artifacts(si, k)
+            pts2, nrm2, msk2 = self._get_scan(si, k + 1)
+            img.append(image)
+            nimg.append(normal_image)
+            mr.append(mean_range)
+            p2.append(pts2)
+            n2.append(nrm2)
+            v2.append(msk2)
+        return CachedTargetBatch(
+            image_1=np.stack(img), normal_image_1=np.stack(nimg),
+            mean_range_1=np.asarray(mr, np.float32),
+            points_2=np.stack(p2), normals_2=np.stack(n2),
+            valid_2=np.stack(v2),
+        )
+
 
 class BatchLoader:
     """Shuffling, epoch-based batch iterator with background prefetch.
@@ -125,10 +171,12 @@ class BatchLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         prefetch: int = 2,
+        cached_targets: bool = False,
     ):
         if batch_size % num_shards != 0:
             raise ValueError("batch_size must divide evenly across hosts")
         self.dataset = dataset
+        self.cached_targets = cached_targets
         self.global_batch = batch_size
         self.local_batch = batch_size // num_shards
         self.shuffle = shuffle
@@ -161,11 +209,17 @@ class BatchLoader:
         if n_batches == 0:
             return iter(())
 
+        make = (
+            self.dataset.make_cached_batch
+            if self.cached_targets
+            else self.dataset.make_batch
+        )
+
         def producer(q: "queue.Queue"):
             try:
                 for b in range(n_batches):
                     sel = indices[b * self.local_batch:(b + 1) * self.local_batch]
-                    q.put(self.dataset.make_batch(sel))
+                    q.put(make(sel))
             finally:
                 q.put(None)
 

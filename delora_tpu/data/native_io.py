@@ -63,8 +63,47 @@ def _load(build_if_missing: bool = True):
         ctypes.POINTER(ctypes.c_ubyte),
     ] * 2
     lib.dio_loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.dio_project_scan.restype = ctypes.c_int
+    lib.dio_project_scan.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+    ]
     _lib = lib
     return lib
+
+
+def project_scan_native(points: np.ndarray, valid: np.ndarray, spec):
+    """Native twin of ops.projection_host.project_scan_np.
+
+    -> (image [H,W,4] f32, point_index [H,W] i32, mean_range float), or None
+    if the library isn't available. Same winner/tie semantics (scatter-min
+    with strict '<': smallest index wins exact range ties, like the stable
+    sorts in the numpy/XLA paths).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(np.asarray(points, np.float32)[:, :3])
+    val = np.ascontiguousarray(np.asarray(valid), np.uint8)
+    H, W = spec.height, spec.width
+    image = np.zeros((H, W, 4), np.float32)
+    point_index = np.zeros((H, W), np.int32)
+    mean_range = ctypes.c_float(0.0)
+    n = lib.dio_project_scan(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        val.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        len(pts), H, W,
+        spec.fov_up, spec.fov_down, spec.fov_left, spec.fov_right,
+        image.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        point_index.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(mean_range),
+    )
+    if n < 0:
+        return None
+    return image, point_index, float(mean_range.value)
 
 
 def available() -> bool:

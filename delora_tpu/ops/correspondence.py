@@ -135,6 +135,94 @@ def projective_correspondence(
     return Correspondence(tgt_pts, tgt_nrm, valid, sq_out)
 
 
+def image_space_correspondence(
+    warped_src_image: jnp.ndarray,       # [H, W, 7] warped-source projection:
+                                         #   xyz, normal xyz, range
+    target_image: jnp.ndarray,           # [H, W, >=3] projected target
+    target_normal_image: jnp.ndarray,    # [H, W, 3]
+    spec: ProjectionSpec,
+    window: Tuple[int, int] = (5, 9),
+):
+    """Gather-free window correspondence between two range images.
+
+    The transformed source scan is *re-projected* into its own range image
+    (with its rotated normals riding as extra channels), so matching becomes
+    per-pixel elementwise arithmetic against vertically-sliced /
+    horizontally-rolled copies of the target image — the TPU-shaped
+    formulation: zero gathers, pure VPU work. A rolled ``fori_loop`` over the
+    K = wv*wu window offsets carries the running best (sq dist, target xyz,
+    target normal) per pixel; loop-carried *values* replace the winner
+    re-gather entirely.
+
+    vs ``projective_correspondence`` (same estimator family, two deliberate
+    differences, both validated in tests/test_image_correspondence.py):
+      * warped source points that collide into one pixel keep only the
+        closest (the projection's dedup) — a handful per scan at consecutive-
+        scan motion;
+      * warped points that leave the FoV are culled instead of matching a
+        clamped border pixel.
+
+    Azimuth wraps (360° sensor), elevation clamps — as everywhere else.
+
+    Returns ``(source [HW,3], source_normals [HW,3], source_valid [HW],
+    Correspondence over HW pixels)``: everything the ICP losses need, in
+    pixel space.
+    """
+    H, W = spec.height, spec.width
+    wv, wu = window
+    a, b = wv // 2, wu // 2
+    K = wv * wu
+
+    src_xyz = warped_src_image[..., 0:3].reshape(H * W, 3)
+    src_nrm = warped_src_image[..., 3:6].reshape(H * W, 3)
+    src_occ = warped_src_image[..., 6].reshape(H * W) > 0.0   # range > 0
+
+    occ = jnp.any(target_image[..., :3] != 0.0, axis=-1, keepdims=True)
+    tgt = jnp.concatenate(
+        [target_image[..., :3], target_normal_image,
+         occ.astype(target_image.dtype)], axis=-1
+    )                                                          # [H, W, 7]
+    # Vertical padding with EMPTY rows: candidates beyond the elevation FoV
+    # are misses, not clamped duplicates.
+    tgt_pad = jnp.pad(tgt, ((a, a), (0, 0), (0, 0)))           # [H+2a, W, 7]
+
+    src_sel = jax.lax.stop_gradient(src_xyz)
+
+    def body(k, carry):
+        best_sq, best_xyz, best_nrm = carry
+        dv = k // wu
+        du = k % wu - b
+        cand = jax.lax.dynamic_slice(tgt_pad, (dv, 0, 0), (H, W, 7))
+        cand = jnp.roll(cand, -du, axis=1).reshape(H * W, 7)
+        d = cand[:, :3] - src_sel
+        sq = jnp.sum(d * d, axis=-1)
+        sq = jnp.where(cand[:, 6] > 0.5, sq, jnp.inf)
+        better = sq < best_sq
+        bm = better[:, None]
+        return (
+            jnp.where(better, sq, best_sq),
+            jnp.where(bm, cand[:, :3], best_xyz),
+            jnp.where(bm, cand[:, 3:6], best_nrm),
+        )
+
+    init = (
+        jnp.full((H * W,), jnp.inf, src_xyz.dtype),
+        jnp.zeros((H * W, 3), src_xyz.dtype),
+        jnp.zeros((H * W, 3), src_xyz.dtype),
+    )
+    best_sq, best_xyz, best_nrm = jax.lax.fori_loop(0, K, body, init)
+    best_xyz = jax.lax.stop_gradient(best_xyz)
+    best_nrm = jax.lax.stop_gradient(best_nrm)
+
+    valid = src_occ & jnp.isfinite(best_sq)
+    tgt_pts = jnp.where(valid[:, None], best_xyz, 0.0)
+    tgt_nrm = jnp.where(valid[:, None], best_nrm, 0.0)
+    dd = src_xyz - tgt_pts
+    sq_out = jnp.where(valid, jnp.sum(dd * dd, axis=-1), jnp.inf)
+    corr = Correspondence(tgt_pts, tgt_nrm, valid, sq_out)
+    return src_xyz, src_nrm, valid, corr
+
+
 def brute_force_correspondence(
     source_points: jnp.ndarray,      # [S, 3]
     source_valid: jnp.ndarray,       # [S]

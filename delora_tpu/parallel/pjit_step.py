@@ -16,7 +16,13 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from delora_tpu.parallel.mesh import DATA_AXIS
-from delora_tpu.training.step import ScanPairBatch, loss_and_metrics, optax_global_norm
+from delora_tpu.training.step import (
+    CachedTargetBatch,
+    ScanPairBatch,
+    loss_and_metrics,
+    loss_and_metrics_cached,
+    optax_global_norm,
+)
 
 
 def batch_sharding(mesh):
@@ -62,10 +68,41 @@ def make_sharded_train_step(model, cfg, mesh, donate: bool = True):
         metrics["grad_norm"] = optax_global_norm(grads)
         return new_state, metrics
 
-    batch_shardings = ScanPairBatch(*([shard] * len(ScanPairBatch._fields)))
+    # `shard` is a pytree prefix: every leaf of the batch NamedTuple shards
+    # along its leading (batch) axis.
     return jax.jit(
         step,
-        in_shardings=(repl, batch_shardings, repl),
+        in_shardings=(repl, shard, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_sharded_train_step_cached(model, cfg, mesh, donate: bool = True):
+    """Sharded twin of ``make_train_step_cached`` (CachedTargetBatch input)."""
+    if cfg.correspondence not in ("projective", "image"):
+        raise ValueError(
+            "cached-target training requires projective or image-space "
+            "correspondence"
+        )
+    repl = replicated_sharding(mesh)
+    shard = batch_sharding(mesh)
+
+    def step(state, batch: CachedTargetBatch, rng):
+        grad_fn = jax.value_and_grad(
+            lambda p: loss_and_metrics_cached(
+                state.apply_fn, p, batch, cfg, rng
+            ),
+            has_aux=True,
+        )
+        (loss, (metrics, _)), grads = grad_fn(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(
+        step,
+        in_shardings=(repl, shard, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
     )

@@ -30,6 +30,7 @@ from delora_tpu import se3
 from delora_tpu.losses.icp import IcpLossConfig, icp_losses
 from delora_tpu.ops.correspondence import (
     brute_force_correspondence,
+    image_space_correspondence,
     projective_correspondence,
 )
 from delora_tpu.ops.projection import (
@@ -62,7 +63,7 @@ class StepConfig(NamedTuple):
 
     proj: ProjectionSpec
     icp: IcpLossConfig
-    correspondence: str = "projective"       # "projective" | "brute"
+    correspondence: str = "projective"       # "projective" | "image" | "brute"
     window: Tuple[int, int] = (5, 9)
     supervised: bool = False                  # identity-fit warmup phase
     augment: bool = False
@@ -139,29 +140,26 @@ def forward_pose(apply_fn, params, image_1, image_2, quat_also=False,
     return T
 
 
-def loss_and_metrics(
-    apply_fn, params, batch: ScanPairBatch, cfg: StepConfig, rng
+def _loss_core(
+    apply_fn, params, image_1, target_normal_image,
+    points_2, normals_2, valid_2, cfg: StepConfig, drop_rng,
+    brute_target=None, scale=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Total loss + metrics dict for one batch (differentiable w.r.t. params)."""
-    aug_rng, drop_rng = jax.random.split(rng)
-    if cfg.augment:
-        p2, n2 = _augment(batch.points_2, batch.normals_2, aug_rng, cfg)
-        batch = batch._replace(points_2=p2, normals_2=n2)
-    scale = None
-    if cfg.normalization_scaling:
-        batch, scale = _pair_normalization(batch)
+    """Shared loss tail: everything downstream of the target-side artifacts.
 
-    proj_1 = jax.vmap(lambda p, m: project_scan(p, m, cfg.proj))(
-        batch.points_1, batch.valid_1
-    )
+    ``image_1`` [B,H,W,4] and ``target_normal_image`` [B,H,W,3] arrive either
+    freshly projected (``loss_and_metrics``) or from the host-side per-scan
+    cache (``loss_and_metrics_cached`` — same values, computed once per scan
+    instead of once per step). ``brute_target`` = (points_1, survivor_1,
+    normals_1) is required only for brute-force correspondence.
+    """
     # Source scan: projection fused with survivor compaction. Only surviving
     # points enter the loss (deployer.py:257-261); projection guarantees
     # <= H*W survivors (one winner per pixel), so correspondence/loss work
     # shrinks from N (padded, e.g. 131k) to H*W (e.g. 46k) losslessly.
     proj_2 = jax.vmap(lambda p, m: project_scan_compact(p, m, cfg.proj))(
-        batch.points_2, batch.valid_2
+        points_2, valid_2
     )
-    image_1 = proj_1.image                                   # [B, H, W, 4]
     image_2 = proj_2.image
 
     T = forward_pose(
@@ -174,7 +172,7 @@ def loss_and_metrics(
         return both[:, :3] * mask[:, None], both[:, 3:] * mask[:, None]
 
     pts_c, nrm_c = jax.vmap(compact)(
-        batch.points_2, batch.normals_2, proj_2.ids, proj_2.mask
+        points_2, normals_2, proj_2.ids, proj_2.mask
     )
     src_valid = proj_2.mask
 
@@ -183,25 +181,44 @@ def loss_and_metrics(
     src_pts = se3.transform_points(T, pts_c)
     src_nrm = se3.rotate_points(T, nrm_c)
 
-    target_normal_image = jax.vmap(gather_image_attribute)(
-        batch.normals_1, proj_1.point_index
-    )
-
+    loss_src = (src_pts, src_nrm, src_valid)
     if cfg.correspondence == "projective":
         corr = jax.vmap(
             lambda s, m, img, nimg: projective_correspondence(
                 s, m, img, nimg, cfg.proj, cfg.window
             )
         )(src_pts, src_valid, image_1, target_normal_image)
+    elif cfg.correspondence == "image":
+        # Gather-free image-space matching: re-project the warped source
+        # (rotated normals riding as extra channels — project_scan images
+        # every input channel) and match per pixel against shifted target
+        # images. The loss then runs over pixels instead of points.
+        warped = jnp.concatenate([src_pts, src_nrm], axis=-1)   # [B, cap, 6]
+        wproj = jax.vmap(lambda p, m: project_scan(p, m, cfg.proj))(
+            warped, src_valid
+        )
+        s_xyz, s_nrm, s_valid, corr = jax.vmap(
+            lambda wimg, img, nimg: image_space_correspondence(
+                wimg, img, nimg, cfg.proj, cfg.window
+            )
+        )(wproj.image, image_1, target_normal_image)
+        loss_src = (s_xyz, s_nrm, s_valid)
     else:
+        if brute_target is None:
+            raise ValueError(
+                "brute-force correspondence needs raw target points — "
+                "unavailable in cached-target mode (set correspondence: "
+                "projective or cache_target_projections: false)"
+            )
+        points_1, survivor_1, normals_1 = brute_target
         corr = jax.vmap(
             lambda s, m, t, tv, tn: brute_force_correspondence(
                 s, m, t, tv, tn, use_pallas=cfg.use_pallas_nn
             )
-        )(src_pts, src_valid, batch.points_1, proj_1.survivor, batch.normals_1)
+        )(src_pts, src_valid, points_1, survivor_1, normals_1)
 
     per_pair = jax.vmap(lambda s, n, m, c: icp_losses(s, n, m, c, cfg.icp))(
-        src_pts, src_nrm, src_valid, corr
+        *loss_src, corr
     )
     losses = {k: jnp.mean(v) for k, v in per_pair.items()}
 
@@ -236,12 +253,114 @@ def loss_and_metrics(
     return loss, (metrics, aux)
 
 
+def loss_and_metrics(
+    apply_fn, params, batch: ScanPairBatch, cfg: StepConfig, rng
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Total loss + metrics dict for one batch (differentiable w.r.t. params)."""
+    aug_rng, drop_rng = jax.random.split(rng)
+    if cfg.augment:
+        p2, n2 = _augment(batch.points_2, batch.normals_2, aug_rng, cfg)
+        batch = batch._replace(points_2=p2, normals_2=n2)
+    scale = None
+    if cfg.normalization_scaling:
+        batch, scale = _pair_normalization(batch)
+
+    proj_1 = jax.vmap(lambda p, m: project_scan(p, m, cfg.proj))(
+        batch.points_1, batch.valid_1
+    )
+    target_normal_image = jax.vmap(gather_image_attribute)(
+        batch.normals_1, proj_1.point_index
+    )
+    return _loss_core(
+        apply_fn, params, proj_1.image, target_normal_image,
+        batch.points_2, batch.normals_2, batch.valid_2, cfg, drop_rng,
+        brute_target=(batch.points_1, proj_1.survivor, batch.normals_1),
+        scale=scale,
+    )
+
+
+class CachedTargetBatch(NamedTuple):
+    """Batch whose target-side projection artifacts are precomputed.
+
+    The target image/normal-image of a scan are epoch-invariant (see
+    delora_tpu/ops/projection_host.py), so the trainer feeds them from a
+    per-scan host cache instead of re-projecting on device every step —
+    halving projection work and shrinking the host->device transfer.
+
+    image_1:        [B, H, W, 4] float32 — xyz + range, zeros at empty pixels.
+    normal_image_1: [B, H, W, 3] float32 — zero = no-normal sentinel.
+    mean_range_1:   [B] float32 — target mean range (pair normalization).
+    points_2 / normals_2 / valid_2: as in :class:`ScanPairBatch`.
+    """
+
+    image_1: jnp.ndarray
+    normal_image_1: jnp.ndarray
+    mean_range_1: jnp.ndarray
+    points_2: jnp.ndarray
+    normals_2: jnp.ndarray
+    valid_2: jnp.ndarray
+
+
+def loss_and_metrics_cached(
+    apply_fn, params, batch: CachedTargetBatch, cfg: StepConfig, rng
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """``loss_and_metrics`` over a :class:`CachedTargetBatch`.
+
+    Mathematically identical to the uncached step (projective correspondence
+    path): augmentation touches only the source; under pair normalization the
+    cached target image scales by 1/s because (u, v) are angles and the
+    per-pixel winner is decided by range *ordering* (deployer.py:222-235
+    semantics preserved).
+    """
+    aug_rng, drop_rng = jax.random.split(rng)
+    points_2, normals_2 = batch.points_2, batch.normals_2
+    if cfg.augment:
+        points_2, normals_2 = _augment(points_2, normals_2, aug_rng, cfg)
+    image_1 = batch.image_1
+    scale = None
+    if cfg.normalization_scaling:
+        r = jnp.linalg.norm(points_2, axis=-1)
+        m = batch.valid_2.astype(points_2.dtype)
+        m2 = jnp.sum(r * m, axis=-1) / jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+        scale = 0.5 * (batch.mean_range_1 + m2)              # [B]
+        points_2 = points_2 / scale[:, None, None]
+        image_1 = image_1 / scale[:, None, None, None]       # all 4 chans linear
+    return _loss_core(
+        apply_fn, params, image_1, batch.normal_image_1,
+        points_2, normals_2, batch.valid_2, cfg, drop_rng, scale=scale,
+    )
+
+
 def make_train_step(model, cfg: StepConfig, donate: bool = True):
     """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
 
     def step(state, batch: ScanPairBatch, rng):
         grad_fn = jax.value_and_grad(
             lambda p: loss_and_metrics(state.apply_fn, p, batch, cfg, rng),
+            has_aux=True,
+        )
+        (loss, (metrics, _)), grads = grad_fn(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_train_step_cached(model, cfg: StepConfig, donate: bool = True):
+    """Jitted train step over :class:`CachedTargetBatch` inputs."""
+    if cfg.correspondence not in ("projective", "image"):
+        raise ValueError(
+            "cached-target training requires projective or image-space "
+            "correspondence"
+        )
+
+    def step(state, batch: CachedTargetBatch, rng):
+        grad_fn = jax.value_and_grad(
+            lambda p: loss_and_metrics_cached(
+                state.apply_fn, p, batch, cfg, rng
+            ),
             has_aux=True,
         )
         (loss, (metrics, _)), grads = grad_fn(state.params)

@@ -30,7 +30,11 @@ from delora_tpu.data.dataset import BatchLoader, ScanPairDataset
 from delora_tpu.models.odometry import ModelConfig, OdometryModel
 from delora_tpu.training.checkpoint import CheckpointManager
 from delora_tpu.training.state import create_train_state, param_count
-from delora_tpu.training.step import StepConfig, make_train_step
+from delora_tpu.training.step import (
+    StepConfig,
+    make_train_step,
+    make_train_step_cached,
+)
 from delora_tpu.utils.metrics import MetricsLogger
 
 
@@ -55,7 +59,15 @@ class Trainer:
         self.state = create_train_state(self.model, config, example)
         print(f"[trainer] model parameters: {param_count(self.state):,}")
 
-        # Data
+        # Data. Target-side projections are epoch-invariant, so by default
+        # (projective correspondence) they are computed once per scan on the
+        # host and fed precomputed — halving per-step projection work (see
+        # delora_tpu/ops/projection_host.py).
+        self.cached_targets = (
+            bool(config.get("cache_target_projections", True))
+            and str(config.get("correspondence", "projective"))
+            in ("projective", "image")
+        )
         self.pair_datasets = {
             name: ScanPairDataset(config, name) for name in self.datasets
         }
@@ -65,6 +77,7 @@ class Trainer:
                 ds, self.batch_size,
                 shuffle=True, seed=int(config.get("seed", 0)),
                 num_shards=num_shards, shard_index=jax.process_index(),
+                cached_targets=self.cached_targets,
             )
             for name, ds in self.pair_datasets.items()
         }
@@ -152,13 +165,24 @@ class Trainer:
                 self.config, dataset, supervised=self.supervised
             )
             if self.mesh is not None:
-                from delora_tpu.parallel.pjit_step import make_sharded_train_step
-
-                self._steps[key] = make_sharded_train_step(
-                    self.model, cfg, self.mesh
+                from delora_tpu.parallel.pjit_step import (
+                    make_sharded_train_step,
+                    make_sharded_train_step_cached,
                 )
+
+                make = (
+                    make_sharded_train_step_cached
+                    if self.cached_targets
+                    else make_sharded_train_step
+                )
+                self._steps[key] = make(self.model, cfg, self.mesh)
             else:
-                self._steps[key] = make_train_step(self.model, cfg)
+                make = (
+                    make_train_step_cached
+                    if self.cached_targets
+                    else make_train_step
+                )
+                self._steps[key] = make(self.model, cfg)
         return self._steps[key]
 
     def _shard_batch(self, batch):

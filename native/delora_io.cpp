@@ -14,7 +14,9 @@
 //
 // Build: make -C native   (g++ -O3 -shared -fPIC -pthread)
 
+#include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -91,6 +93,67 @@ int read_npy_f32(const char* path, float* out, int capacity_rows, int cols) {
                           static_cast<size_t>(rows), f);
   std::fclose(f);
   return static_cast<int>(got);
+}
+
+// ---------------------------------------------------------------------------
+// Host-side spherical projection (target-image cache builder)
+// ---------------------------------------------------------------------------
+// Twin of delora_tpu/ops/projection_host.py (itself parity-tested against
+// the device op): (u, v) via atan2, round-half-to-even pixel snap, per-pixel
+// closest-point winner. On the host a direct scatter-min is optimal (random
+// access is cheap on CPU; no sort needed) — sequential iteration with strict
+// '<' keeps the smallest point index on exact range ties, identical to the
+// stable-sort semantics of the numpy/XLA implementations. This is the
+// *offline, once-per-scan* path feeding the epoch-invariant target cache;
+// the per-step device path stays sort-based XLA.
+
+int project_scan(const float* points, const uint8_t* valid, int n_points,
+                 int height, int width, float fov_up, float fov_down,
+                 float fov_left, float fov_right, float* image_out,
+                 int32_t* point_index_out, float* mean_range_out) {
+  const int num_pix = height * width;
+  std::memset(image_out, 0, sizeof(float) * 4 * static_cast<size_t>(num_pix));
+  for (int p = 0; p < num_pix; ++p) point_index_out[p] = -1;
+  std::vector<float> best_r(static_cast<size_t>(num_pix), 0.0f);
+
+  // Keep the numpy implementation's exact operation order (subtract,
+  // divide by the FoV span, then scale) so boundary pixels round the same.
+  const float u_span = fov_right - fov_left;
+  const float v_span = fov_up - fov_down;
+  double range_sum = 0.0;
+  long n_valid = 0;
+  int winners = 0;
+
+  for (int i = 0; i < n_points; ++i) {
+    const float x = points[3 * i], y = points[3 * i + 1], z = points[3 * i + 2];
+    const float r = std::sqrt(x * x + y * y + z * z);
+    if (valid[i]) {
+      range_sum += r;
+      ++n_valid;
+    }
+    if (!valid[i] || r <= 0.0f) continue;
+    // nearbyintf under the default FE_TONEAREST rounds half-to-even —
+    // matching np.round / jnp.round exactly.
+    const float uf = std::nearbyint(
+        (std::atan2(y, x) - fov_left) / u_span * (width - 1));
+    const float vf = std::nearbyint(
+        (std::atan2(z, std::sqrt(x * x + y * y)) - fov_down) / v_span *
+        (height - 1));
+    if (uf < 0.0f || uf > width - 1 || vf < 0.0f || vf > height - 1) continue;
+    const int pix = static_cast<int>(vf) * width + static_cast<int>(uf);
+    if (point_index_out[pix] >= 0 && best_r[pix] <= r) continue;
+    if (point_index_out[pix] < 0) ++winners;
+    best_r[pix] = r;
+    point_index_out[pix] = i;
+    float* cell = image_out + 4 * static_cast<size_t>(pix);
+    cell[0] = x;
+    cell[1] = y;
+    cell[2] = z;
+    cell[3] = r;
+  }
+  *mean_range_out =
+      static_cast<float>(range_sum / static_cast<double>(std::max(n_valid, 1L)));
+  return winners;
 }
 
 // ---------------------------------------------------------------------------
@@ -192,6 +255,15 @@ int dio_read_velodyne(const char* path, float* out, int capacity_points) {
 
 int dio_read_npy_f32(const char* path, float* out, int capacity_rows, int cols) {
   return read_npy_f32(path, out, capacity_rows, cols);
+}
+
+int dio_project_scan(const float* points, const uint8_t* valid, int n_points,
+                     int height, int width, float fov_up, float fov_down,
+                     float fov_left, float fov_right, float* image_out,
+                     int32_t* point_index_out, float* mean_range_out) {
+  return project_scan(points, valid, n_points, height, width, fov_up,
+                      fov_down, fov_left, fov_right, image_out,
+                      point_index_out, mean_range_out);
 }
 
 void* dio_loader_create(const char** scan_paths, const char** normal_paths,

@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--lr", type=float, default=5e-5)
     ap.add_argument("--small", action="store_true",
                     help="small model for quick runs")
+    ap.add_argument("--correspondence", default=None,
+                    choices=["projective", "image", "brute"],
+                    help="override correspondence search mode")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (quality comparisons)")
     args = ap.parse_args()
 
     from delora_tpu.config import load_config
@@ -36,6 +41,10 @@ def main():
     from delora_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     os.makedirs(args.workdir, exist_ok=True)
     raw = os.path.join(args.workdir, "raw")
@@ -63,6 +72,8 @@ def main():
         "log_dir": os.path.join(args.workdir, "runs"),
         "epsilon_range": 1.0,
     }
+    if args.correspondence:
+        overrides["correspondence"] = args.correspondence
     if args.small:
         overrides.update({"resnet_outputs": 128, "layers": [1, 1, 1, 1],
                           "factor_fewer_resnet_channels": 4})

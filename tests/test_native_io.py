@@ -70,3 +70,41 @@ def test_pair_loader_batches(tmp_path):
     np.testing.assert_array_equal(p1[0][:90], raw[4][0])
     assert v2[0].sum() == 100
     loader.close()
+
+
+def test_native_projection_matches_numpy():
+    """dio_project_scan (C++ scatter-min) == project_scan_np (numpy sort):
+    same winners, same image, same mean range."""
+    from delora_tpu.data.native_io import available, project_scan_native
+    from delora_tpu.ops.projection import ProjectionSpec
+    from delora_tpu.ops.projection_host import project_scan_np
+
+    if not available():
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(11)
+    N = 20000
+    pts = (rng.standard_normal((N, 3)) * np.array([12.0, 12.0, 1.0])).astype(
+        np.float32
+    )
+    pts[:, 2] -= 1.6
+    valid = rng.random(N) > 0.05
+    spec = ProjectionSpec(
+        height=32, width=360,
+        fov_down=float(np.deg2rad(-24.5)), fov_up=float(np.deg2rad(2.0)),
+        fov_left=float(np.deg2rad(-179.9)), fov_right=float(np.deg2rad(179.9)),
+    )
+    ref = project_scan_np(pts, valid, spec)
+    out = project_scan_native(pts, valid, spec)
+    assert out is not None
+    image, point_index, mean_range = out
+
+    # Winner disagreements can only come from sub-ulp libm differences on
+    # near-tied ranges / pixel-boundary rounding; allow a vanishing fraction.
+    mismatch = (point_index != ref.point_index).mean()
+    assert mismatch < 1e-3, f"point_index mismatch fraction {mismatch}"
+    agree = point_index == ref.point_index
+    np.testing.assert_allclose(
+        image[agree], ref.image[agree], rtol=1e-6, atol=1e-6
+    )
+    assert mean_range == pytest.approx(ref.mean_range, rel=1e-5)

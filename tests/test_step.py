@@ -77,7 +77,7 @@ def fixed_pose_apply(T, batch_size=B):
     return apply
 
 
-@pytest.mark.parametrize("correspondence", ["projective", "brute"])
+@pytest.mark.parametrize("correspondence", ["projective", "image", "brute"])
 def test_true_pose_scores_better_than_identity(correspondence):
     batch, T_true = synthetic_batch()
     _, state = make_model_and_state()
@@ -155,3 +155,31 @@ def test_normalization_scaling_roundtrip():
     m = np.asarray(batch.valid_1)
     assert abs(r1[m].mean() - 1.0) < 0.1
     assert scale.shape == (B,)
+
+
+def test_image_correspondence_agrees_with_projective_at_true_pose():
+    """Image-space (gather-free) matching is the same estimator as the
+    per-point projective search up to its two documented differences
+    (post-warp pixel collisions, FoV culling) — at the true pose the losses
+    must agree closely and be near-zero."""
+    batch, T_true = synthetic_batch()
+    _, state = make_model_and_state()
+    rng = jax.random.PRNGKey(0)
+    losses = {}
+    for mode in ("projective", "image"):
+        cfg = StepConfig(proj=PSPEC, icp=IcpLossConfig(), correspondence=mode)
+        loss, (m, _) = loss_and_metrics(
+            fixed_pose_apply(T_true), state.params, batch, cfg, rng)
+        losses[mode] = float(m["loss_po2pl"])
+    assert losses["image"] < 1e-4, losses
+    assert abs(losses["image"] - losses["projective"]) < 1e-4, losses
+
+
+def test_image_correspondence_gradients_flow():
+    batch, _ = synthetic_batch()
+    model, state = make_model_and_state()
+    cfg = StepConfig(proj=PSPEC, icp=IcpLossConfig(), correspondence="image")
+    step = make_train_step(model, cfg, donate=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss_pc"]))
+    assert float(metrics["grad_norm"]) > 0.0
