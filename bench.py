@@ -171,7 +171,11 @@ def main():
     # image-space after quality validation, pairs_per_sec above moves with it.
 
     # Diagnostic: single-scan inference latency (10 Hz budget check).
-    from delora_tpu.training.step import make_infer_step
+    # (a) pair path: both scans projected + forward (make_infer_step);
+    # (b) serving steady state: each scan projected ONCE, previous image
+    #     cached on device (delora_tpu/serving/stream.py push_scan).
+    from delora_tpu.ops.projection import project_scan
+    from delora_tpu.training.step import forward_pose, make_infer_step
 
     infer = make_infer_step(model, cfg)
     b1 = jax.tree.map(lambda x: x[:1], batch)
@@ -185,6 +189,23 @@ def main():
         lat.append(time.time() - t0)
     p50 = float(np.percentile(lat, 50) * 1000)
     log(f"single-pair inference p50: {p50:.1f} ms (budget 100 ms)")
+
+    project1 = jax.jit(lambda p, v: project_scan(p, v, pspec).image[None])
+    forward1 = jax.jit(
+        lambda params, i1, i2: forward_pose(model.apply, params, i1, i2)[0]
+    )
+    img_prev = project1(batch.points_1[0], batch.valid_1[0])
+    sync(forward1(state.params, img_prev, img_prev))
+    lat = []
+    for k in range(20):
+        t0 = time.time()
+        img = project1(batch.points_2[0], batch.valid_2[0])
+        T1 = forward1(state.params, img_prev, img)
+        sync(T1)
+        img_prev = img
+        lat.append(time.time() - t0)
+    p50s = float(np.percentile(lat, 50) * 1000)
+    log(f"serving steady-state p50: {p50s:.1f} ms/scan (budget 100 ms)")
 
     print(json.dumps({
         "metric": "scan_pairs_per_sec_per_chip",

@@ -105,8 +105,10 @@ def _validate(config: Mapping[str, Any]) -> None:
         raise ValueError('activation_fct must be "relu" or "tanh"')
     if config["normal_loss"] not in ("squared", "linear"):
         raise ValueError('normal_loss must be "squared" or "linear"')
-    if config["correspondence"] not in ("projective", "brute"):
-        raise ValueError('correspondence must be "projective" or "brute"')
+    if config["correspondence"] not in ("projective", "image", "brute"):
+        raise ValueError(
+            'correspondence must be "projective", "image" or "brute"'
+        )
     if config["quaternion_normalization"] not in ("per_row", "global"):
         raise ValueError('quaternion_normalization must be "per_row" or "global"')
     for dataset in config.get("datasets", []):

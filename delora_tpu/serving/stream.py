@@ -84,14 +84,22 @@ class StreamingOdometry:
                 )
         self.params = state.params
 
+        # Each scan is projected exactly ONCE: the projected image stays on
+        # device and is reused as img_prev at the next push (the reference
+        # node re-projects the kept previous cloud every callback,
+        # odometry_publisher.py:137-140). Two jitted programs = two cheap
+        # async dispatches; no extra host<->device traffic.
         @jax.jit
-        def _infer(params, pts_prev, valid_prev, pts_cur, valid_cur):
-            img_prev = project_scan(pts_prev, valid_prev, self.pspec).image[None]
-            img_cur = project_scan(pts_cur, valid_cur, self.pspec).image[None]
+        def _project(pts, valid):
+            return project_scan(pts, valid, self.pspec).image[None]
+
+        @jax.jit
+        def _forward(params, img_prev, img_cur):
             return forward_pose(self.model.apply, params, img_prev, img_cur)[0]
 
-        self._infer = _infer
-        self._prev = None
+        self._project = _project
+        self._forward = _forward
+        self._prev_img = None
         self.integrator = OdometryIntegrator()
 
     def _pad(self, points: np.ndarray):
@@ -107,13 +115,12 @@ class StreamingOdometry:
         the first scan (no pair yet)."""
         t0 = time.time()
         pts, valid = self._pad(filter_scan(points))
-        if self._prev is None:
-            self._prev = (pts, valid)
+        img = self._project(pts, valid)
+        if self._prev_img is None:
+            self._prev_img = img
             return None
-        T = np.asarray(
-            self._infer(self.params, self._prev[0], self._prev[1], pts, valid)
-        )
-        self._prev = (pts, valid)
+        T = np.asarray(self._forward(self.params, self._prev_img, img))
+        self._prev_img = img
         pose = self.integrator.integrate(T)
         return T, pose, time.time() - t0
 

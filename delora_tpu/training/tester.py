@@ -80,7 +80,11 @@ class Tester:
         return np.stack(out)
 
     def test(self) -> Dict[str, Dict[int, Optional[tuple]]]:
-        """Evaluate every configured test sequence; returns metrics per seq."""
+        """Evaluate every configured test sequence; returns metrics per seq.
+
+        The per-sequence value is ``(t_rel %, r_rel deg/100m)`` (KITTI
+        segment metric) when the trajectory has >= 100 m subsequences,
+        otherwise ``(RPE m/step, RPE deg/step)``, or None without GT."""
         results: Dict[str, Dict[int, Optional[tuple]]] = {}
         for dataset in self.datasets:
             spec = self.config[dataset]
@@ -106,6 +110,20 @@ class Tester:
                         self.logger.log_metrics(
                             {f"t_rel_{tag}": t_rel, f"r_rel_{tag}": r_rel}, step=0
                         )
+                    else:
+                        # Sequence too short for 100 m KITTI segments
+                        # (kitti_odometry_errors): fall back to per-step RPE.
+                        metrics = pose_utils.relative_pose_errors_summary(
+                            gt, poses
+                        )
+                        if metrics is not None:
+                            rpe_t, rpe_r = metrics
+                            print(f"[test] {tag}: RPE t={rpe_t:.4f} m/step  "
+                                  f"r={rpe_r:.4f} deg/step (seq < 100 m)")
+                            self.logger.log_metrics(
+                                {f"rpe_t_{tag}": rpe_t, f"rpe_r_{tag}": rpe_r},
+                                step=0,
+                            )
                 try:
                     from delora_tpu.utils.plotting import (
                         plot_elevation,

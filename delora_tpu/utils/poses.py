@@ -129,6 +129,31 @@ def kitti_odometry_errors(
     return errors
 
 
+def relative_pose_errors_summary(
+    poses_gt: np.ndarray, poses_est: np.ndarray
+) -> Optional[Tuple[float, float]]:
+    """Per-step relative pose error -> (mean trans err m, mean rot err deg).
+
+    The scale-free companion to the KITTI segment metric: the KITTI benchmark
+    needs >= 100 m subsequences (kitti_odometry_errors), so short sequences
+    (unit tests, synthetic worlds, quick sanity runs) get RPE instead —
+    error of each consecutive-step relative transform against ground truth,
+    computed in the common world frame.
+    """
+    n = min(len(poses_gt), len(poses_est))
+    if n < 2:
+        return None
+    errs_t, errs_r = [], []
+    for i in range(n - 1):
+        g = np.linalg.inv(poses_gt[i]) @ poses_gt[i + 1]
+        e = np.linalg.inv(poses_est[i]) @ poses_est[i + 1]
+        d = np.linalg.inv(e) @ g
+        errs_t.append(np.linalg.norm(d[:3, 3]))
+        ang = np.arccos(np.clip((np.trace(d[:3, :3]) - 1.0) / 2.0, -1.0, 1.0))
+        errs_r.append(ang)
+    return float(np.mean(errs_t)), float(np.degrees(np.mean(errs_r)))
+
+
 def kitti_benchmark_summary(
     poses_gt: np.ndarray, poses_est: np.ndarray
 ) -> Optional[Tuple[float, float]]:

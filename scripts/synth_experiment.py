@@ -107,7 +107,11 @@ def main():
     gt = load_kitti_poses(config_t, "kitti", 0)
     ident = np.tile(np.eye(4), (len(gt), 1, 1))
     base = P.kitti_benchmark_summary(gt, ident)
-    print(f"[synth] identity-odometry baseline: {base}")
+    if base is None:  # short sequence: per-step relative pose error
+        base = P.relative_pose_errors_summary(gt, ident)
+        print(f"[synth] identity-odometry RPE baseline: {base}")
+    else:
+        print(f"[synth] identity-odometry baseline: {base}")
 
 
 if __name__ == "__main__":
