@@ -162,11 +162,6 @@ def _loss_core(
     )
     image_2 = proj_2.image
 
-    T = forward_pose(
-        apply_fn, params, image_1, image_2,
-        deterministic=False, rngs={"dropout": drop_rng},
-    )
-
     def compact(pts, nrm, ids, mask):
         both = jnp.concatenate([pts, nrm], axis=-1)[ids]    # one fused gather
         return both[:, :3] * mask[:, None], both[:, 3:] * mask[:, None]
@@ -174,7 +169,24 @@ def _loss_core(
     pts_c, nrm_c = jax.vmap(compact)(
         points_2, normals_2, proj_2.ids, proj_2.mask
     )
-    src_valid = proj_2.mask
+    return _loss_tail(
+        apply_fn, params, image_1, target_normal_image,
+        image_2, pts_c, nrm_c, proj_2.mask, cfg, drop_rng,
+        brute_target=brute_target, scale=scale,
+    )
+
+
+def _loss_tail(
+    apply_fn, params, image_1, target_normal_image,
+    image_2, pts_c, nrm_c, src_valid, cfg: StepConfig, drop_rng,
+    brute_target=None, scale=None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Forward -> warp -> correspondence -> losses, given both images and the
+    compacted source point set (however they were produced)."""
+    T = forward_pose(
+        apply_fn, params, image_1, image_2,
+        deterministic=False, rngs={"dropout": drop_rng},
+    )
 
     # Warp source points / rotate source normals by the predicted transform
     # (deployer.py:294-299).

@@ -94,3 +94,49 @@ def test_unsupervised_sharded_step_finite():
     s_batch = shard_batch(jax.tree.map(np.asarray, batch_of(B, seed=1)), mesh)
     _, metrics = step(s_state, s_batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss_pc"]))
+
+
+def test_sharded_cached_step_matches_unsharded():
+    """make_sharded_train_step_cached over the 8-device mesh == the
+    single-device cached step (same loss, same updated params)."""
+    from delora_tpu.ops.projection_host import target_artifacts_np
+    from delora_tpu.parallel.pjit_step import make_sharded_train_step_cached
+    from delora_tpu.training.step import CachedTargetBatch, make_train_step_cached
+
+    B = 8
+    model, state = tiny_model_state(B)
+    cfg = StepConfig(proj=PSPEC, icp=IcpLossConfig())
+    batch = batch_of(B, seed=3)
+
+    arts = [
+        target_artifacts_np(
+            np.asarray(batch.points_1[b]), np.asarray(batch.normals_1[b]),
+            np.asarray(batch.valid_1[b]), PSPEC,
+        )
+        for b in range(B)
+    ]
+    cached = CachedTargetBatch(
+        image_1=np.stack([a[0] for a in arts]),
+        normal_image_1=np.stack([a[1] for a in arts]),
+        mean_range_1=np.asarray([a[2] for a in arts], np.float32),
+        points_2=np.asarray(batch.points_2),
+        normals_2=np.asarray(batch.normals_2),
+        valid_2=np.asarray(batch.valid_2),
+    )
+    rng = jax.random.PRNGKey(1)
+
+    single = make_train_step_cached(model, cfg, donate=False)
+    s1, m1 = single(state, jax.tree.map(jnp.asarray, cached), rng)
+
+    mesh = make_mesh(jax.devices())
+    sharded = make_sharded_train_step_cached(model, cfg, mesh, donate=False)
+    s2, m2 = sharded(
+        replicate_state(state, mesh), shard_batch(cached, mesh), rng
+    )
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5, atol=1e-7)
+    l1 = jax.tree.leaves(s1.params)[0]
+    l2 = jax.tree.leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-4, atol=1e-6)
