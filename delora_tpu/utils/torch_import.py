@@ -104,3 +104,104 @@ def load_reference_checkpoint(path: str, **kwargs) -> Dict:
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state_dict = ckpt.get("model_state_dict", ckpt)
     return torch_state_dict_to_params(state_dict, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Inverse direction: delora_tpu params -> reference-format torch checkpoint.
+# Mirrors the reference's own deployment converter
+# (scripts/convert_pytorch_models.py) so a model trained here can be dropped
+# into an existing reference/ROS deployment unchanged.
+# ---------------------------------------------------------------------------
+
+
+def params_to_torch_state_dict(
+    params: Mapping,
+    blocks_per_stage=(2, 2, 2, 2),
+    use_single_mlp: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Flax {'params': ...} tree -> reference-named state_dict (numpy values).
+
+    Exact inverse of :func:`torch_state_dict_to_params`: conv kernels go back
+    HWIO -> OIHW, linear kernels [in, out] -> [out, in], and module names map
+    onto the reference tree (reference src/models/model.py:14-87,
+    resnet_modified.py:12-124)."""
+    p = params.get("params", params)
+    p = {k: v for k, v in p.items()}
+
+    def np_(x):
+        return np.asarray(x)
+
+    def conv_back(w):
+        return np.transpose(np_(w), (3, 2, 0, 1))  # HWIO -> OIHW
+
+    def linear_back(w):
+        return np.transpose(np_(w), (1, 0))
+
+    resnet = p["CircularResNet_0"]
+    sd: Dict[str, np.ndarray] = {}
+    sd["resnet.conv1.weight"] = conv_back(
+        resnet["ConvCirc_0"]["Conv_0"]["kernel"]
+    )
+
+    k = 0
+    for stage in range(4):
+        for block in range(blocks_per_stage[stage]):
+            prefix = f"resnet.layer{stage + 1}.{block}"
+            entry = resnet[f"BasicBlock_{k}"]
+            sd[f"{prefix}.conv1.weight"] = conv_back(
+                entry["ConvCirc_0"]["Conv_0"]["kernel"]
+            )
+            sd[f"{prefix}.conv2.weight"] = conv_back(
+                entry["ConvCirc_1"]["Conv_0"]["kernel"]
+            )
+            if "Conv_0" in entry:
+                sd[f"{prefix}.downsample.0.weight"] = conv_back(
+                    entry["Conv_0"]["kernel"]
+                )
+            k += 1
+
+    sd["resnet.fc.weight"] = linear_back(resnet["Dense_0"]["kernel"])
+    sd["resnet.fc.bias"] = np_(resnet["Dense_0"]["bias"])
+
+    def mlp_back(tree: Mapping, prefix: str, torch_indices):
+        for i, t in enumerate(torch_indices):
+            sd[f"{prefix}.{t}.weight"] = linear_back(tree[f"Dense_{i}"]["kernel"])
+            sd[f"{prefix}.{t}.bias"] = np_(tree[f"Dense_{i}"]["bias"])
+
+    if use_single_mlp:
+        mlp_back(p["_Mlp_0"], "fully_connected_rot_trans", (1, 3, 5, 7, 9))
+    else:
+        mlp_back(p["_Mlp_0"], "fully_connected_rotation", (1, 3))
+        mlp_back(p["_Mlp_1"], "fully_connected_translation", (1, 3))
+
+    return sd
+
+
+def save_reference_checkpoint(
+    path: str,
+    params: Mapping,
+    config: Mapping = None,
+    epoch: int = 0,
+    loss: float = 0.0,
+    **kwargs,
+) -> None:
+    """Write a reference-loadable ``.pth`` checkpoint (requires torch, CPU).
+
+    Produces the dict layout the reference trainer saves and its tester/ROS
+    node load (reference src/deploy/trainer.py:155-161): {epoch,
+    model_state_dict, optimizer_state_dict, loss, parameters}. Saved with
+    ``_use_new_zipfile_serialization=False`` for old-PyTorch ROS hosts, the
+    same concern reference scripts/convert_pytorch_models.py:13-16 exists
+    to solve."""
+    import torch
+
+    sd = params_to_torch_state_dict(params, **kwargs)
+    ckpt = {
+        "epoch": int(epoch),
+        "model_state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                             for k, v in sd.items()},
+        "optimizer_state_dict": {},
+        "loss": float(loss),
+        "parameters": dict(config or {}),
+    }
+    torch.save(ckpt, path, _use_new_zipfile_serialization=False)

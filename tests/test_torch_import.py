@@ -116,3 +116,34 @@ def test_import_loads_into_model_and_runs():
     t, q = model.apply(params, jnp.ones((1, 32, 128, 4)) * 0.1,
                        jnp.ones((1, 32, 128, 4)) * 0.2)
     assert np.isfinite(np.asarray(t)).all() and np.isfinite(np.asarray(q)).all()
+
+
+def test_export_roundtrip_state_dict():
+    """params -> torch state_dict -> params is the identity (both MLP modes)."""
+    from delora_tpu.utils.torch_import import params_to_torch_state_dict
+
+    sd = reference_shaped_state_dict(seed=4)
+    params = torch_state_dict_to_params(sd)
+    back = params_to_torch_state_dict(params)
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k].numpy())
+
+
+def test_save_reference_checkpoint_loads_in_torch(tmp_path):
+    """Exported .pth is a reference-layout dict readable by plain torch.load
+    (the contract reference src/deploy/tester.py:21-27 consumes)."""
+    from delora_tpu.utils.torch_import import save_reference_checkpoint
+
+    sd = reference_shaped_state_dict(seed=5)
+    params = torch_state_dict_to_params(sd)
+    path = str(tmp_path / "export.pth")
+    save_reference_checkpoint(path, params, config={"device": "cpu"},
+                              epoch=7, loss=0.125)
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    assert ckpt["epoch"] == 7 and ckpt["loss"] == 0.125
+    assert ckpt["parameters"] == {"device": "cpu"}
+    for k in sd:
+        np.testing.assert_array_equal(
+            ckpt["model_state_dict"][k].numpy(), sd[k].numpy()
+        )
