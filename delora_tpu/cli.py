@@ -102,6 +102,39 @@ def cmd_bench(args):
     sys.exit(subprocess.call([sys.executable, "bench.py"] + (args.bench_args or [])))
 
 
+def cmd_export_torch(args):
+    """Export a delora_tpu checkpoint as a reference-format torch .pth.
+
+    Inverse of the torch importer; the counterpart of the reference's own
+    deployment converter (reference scripts/convert_pytorch_models.py)."""
+    config = _build_config(args, "testing")
+    if not args.checkpoint:
+        raise SystemExit("--checkpoint is required")
+    import os
+
+    import jax.numpy as jnp
+
+    from delora_tpu.models.odometry import ModelConfig, OdometryModel
+    from delora_tpu.training.checkpoint import CheckpointManager
+    from delora_tpu.training.state import create_train_state
+    from delora_tpu.utils.torch_import import save_reference_checkpoint
+
+    model = OdometryModel(ModelConfig.from_config(config))
+    ds0 = config[config["datasets"][0]]
+    example = jnp.zeros((1, ds0["vertical_cells"], ds0["horizontal_cells"], 4))
+    state = create_train_state(model, config, example)
+    ckpt_dir = config["checkpoint"]
+    mgr = CheckpointManager(os.path.dirname(ckpt_dir.rstrip("/")) or ".")
+    state, meta = mgr.restore(state, os.path.basename(ckpt_dir.rstrip("/")))
+    save_reference_checkpoint(
+        args.out, state.params, config=meta.get("parameters", config),
+        epoch=int(meta.get("epoch", 0)), loss=float(meta.get("loss", 0.0)),
+        blocks_per_stage=tuple(config["layers"]),
+        use_single_mlp=bool(config["use_single_mlp_at_output"]),
+    )
+    print(f"[export-torch] wrote {args.out}")
+
+
 def cmd_serve(args):
     config = _build_config(args, "testing")
     from delora_tpu.serving.stream import StreamingOdometry
@@ -136,6 +169,12 @@ def main(argv: Optional[list] = None):
     p = sub.add_parser("bench", help="run the benchmark suite")
     p.add_argument("bench_args", nargs="*")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("export-torch",
+                       help="checkpoint -> reference-format torch .pth")
+    _common_flags(p)
+    p.add_argument("--out", required=True, help="output .pth path")
+    p.set_defaults(fn=cmd_export_torch)
 
     p = sub.add_parser("serve", help="streaming odometry (10 Hz budget)")
     _common_flags(p)

@@ -105,3 +105,47 @@ def test_preprocess_command_subprocess(tmp_path):
     assert len(scans) == 3
     s = np.load(str(tmp_path / "pre" / "00" / "scans" / scans[0]))
     assert s.shape[1] == 3
+
+
+def test_export_torch_command(tmp_path):
+    """`delora export-torch` turns an Orbax checkpoint into a torch .pth that
+    round-trips through the importer (both migration directions)."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from delora_tpu.cli import cmd_export_torch
+    from delora_tpu.models.odometry import ModelConfig, OdometryModel
+    from delora_tpu.training.checkpoint import CheckpointManager
+    from delora_tpu.training.state import create_train_state
+    from delora_tpu.utils.torch_import import torch_state_dict_to_params
+
+    small = {
+        "resnet_outputs": 16, "layers": [1, 1, 1, 1],
+        "factor_fewer_resnet_channels": 32,
+        "kitti": {"vertical_cells": 16, "horizontal_cells": 64},
+        "datasets": ["kitti"],
+    }
+    model = OdometryModel(ModelConfig(resnet_outputs=16,
+                                      blocks_per_stage=(1, 1, 1, 1),
+                                      channel_divisor=32))
+    state = create_train_state(model, {"learning_rate": 1e-3},
+                               jnp.zeros((1, 16, 64, 4)))
+    mgr = CheckpointManager(str(tmp_path), keep_every=1)
+    mgr.save(state, epoch=3, loss=0.25, config=small)
+
+    class A(_Args):
+        out = str(tmp_path / "export.pth")
+
+    cmd_export_torch(A(checkpoint=str(tmp_path / "latest")))
+
+    ckpt = torch.load(A.out, map_location="cpu", weights_only=False)
+    assert ckpt["epoch"] == 3
+    back = torch_state_dict_to_params(
+        ckpt["model_state_dict"], blocks_per_stage=(1, 1, 1, 1)
+    )
+    orig = jax.tree.leaves(state.params)
+    rt = jax.tree.leaves(back)
+    assert len(orig) == len(rt)
+    for a, b in zip(orig, rt):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
