@@ -155,7 +155,7 @@ def image_space_correspondence(
     re-gather entirely.
 
     vs ``projective_correspondence`` (same estimator family, two deliberate
-    differences, both validated in tests/test_image_correspondence.py):
+    differences, both validated in tests/test_step.py):
       * warped source points that collide into one pixel keep only the
         closest (the projection's dedup) — a handful per scan at consecutive-
         scan motion;

@@ -63,7 +63,7 @@ class StepConfig(NamedTuple):
 
     proj: ProjectionSpec
     icp: IcpLossConfig
-    correspondence: str = "projective"       # "projective" | "image" | "brute"
+    correspondence: str = "image"            # "image" | "projective" | "brute"
     window: Tuple[int, int] = (5, 9)
     supervised: bool = False                  # identity-fit warmup phase
     augment: bool = False

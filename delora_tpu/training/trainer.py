@@ -60,12 +60,13 @@ class Trainer:
         print(f"[trainer] model parameters: {param_count(self.state):,}")
 
         # Data. Target-side projections are epoch-invariant, so by default
-        # (projective correspondence) they are computed once per scan on the
-        # host and fed precomputed — halving per-step projection work (see
-        # delora_tpu/ops/projection_host.py).
+        # they are computed once per scan on the host and fed precomputed —
+        # halving per-step projection work (see
+        # delora_tpu/ops/projection_host.py). Applies to the image (default)
+        # and projective matchers; brute-force NN needs raw target points.
         self.cached_targets = (
             bool(config.get("cache_target_projections", True))
-            and str(config.get("correspondence", "projective"))
+            and str(config.get("correspondence", "image"))
             in ("projective", "image")
         )
         self.pair_datasets = {
