@@ -62,14 +62,16 @@ def main():
     from delora_tpu.losses.icp import IcpLossConfig
     from delora_tpu.models.odometry import ModelConfig, OdometryModel
     from delora_tpu.ops.projection import ProjectionSpec
-    from delora_tpu.ops.projection_host import target_artifacts_np
+    from delora_tpu.ops.projection_host import scan_artifacts_np
     from delora_tpu.training.state import create_train_state
     from delora_tpu.training.step import (
         CachedTargetBatch,
+        FullyCachedBatch,
         ScanPairBatch,
         StepConfig,
         make_train_step,
         make_train_step_cached,
+        make_train_step_fullcached,
     )
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
@@ -114,35 +116,69 @@ def main():
 
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
-    # ---- HEADLINE: the default training path (cached targets + image
-    # correspondence), measured first so nothing can preempt it.
-    arts = [target_artifacts_np(p1[b], n1[b], v1[b], pspec) for b in range(B)]
-    cbatch = CachedTargetBatch(
-        image_1=jnp.asarray(np.stack([a[0] for a in arts])),
-        normal_image_1=jnp.asarray(np.stack([a[1] for a in arts])),
-        mean_range_1=jnp.asarray(np.asarray([a[2] for a in arts], np.float32)),
-        points_2=batch.points_2, normals_2=batch.normals_2,
-        valid_2=batch.valid_2,
+    # ---- HEADLINE: the default training path (fully-cached projections +
+    # image correspondence — what `delora train` runs with augmentation off),
+    # measured first so nothing can preempt it.
+    arts1 = [scan_artifacts_np(p1[b], n1[b], v1[b], pspec) for b in range(B)]
+    arts2 = [scan_artifacts_np(p2[b], n2[b], v2[b], pspec) for b in range(B)]
+    fbatch = FullyCachedBatch(
+        image_1=jnp.asarray(np.stack([a.image for a in arts1])),
+        normal_image_1=jnp.asarray(np.stack([a.normal_image for a in arts1])),
+        mean_range_1=jnp.asarray(
+            np.asarray([a.mean_range for a in arts1], np.float32)
+        ),
+        image_2=jnp.asarray(np.stack([a.image for a in arts2])),
+        src_points=jnp.asarray(np.stack([a.src_points for a in arts2])),
+        src_normals=jnp.asarray(np.stack([a.src_normals for a in arts2])),
+        src_valid=jnp.asarray(np.stack([a.src_valid for a in arts2])),
+        mean_range_2=jnp.asarray(
+            np.asarray([a.mean_range for a in arts2], np.float32)
+        ),
     )
-    cstep = make_train_step_cached(model, cfg, donate=True)
+    fstep = make_train_step_fullcached(model, cfg, donate=True)
     t0 = time.time()
-    state, metrics = cstep(state, cbatch, jax.random.PRNGKey(2))
-    state, metrics = cstep(state, cbatch, jax.random.PRNGKey(3))
+    state, metrics = fstep(state, fbatch, jax.random.PRNGKey(2))
+    state, metrics = fstep(state, fbatch, jax.random.PRNGKey(3))
     sync(metrics["loss"])
     log(f"headline compile+warmup: {time.time() - t0:.1f}s; "
         f"loss={float(metrics['loss']):.5f}")
     t0 = time.time()
     for k in range(K):
-        state, metrics = cstep(state, cbatch, jax.random.PRNGKey(200 + k))
+        state, metrics = fstep(state, fbatch, jax.random.PRNGKey(200 + k))
     sync(metrics["loss"])
     elapsed = time.time() - t0
     pairs_per_sec = K * B / elapsed
-    log(f"headline (cached+image): {K} steps x {B} pairs in {elapsed:.2f}s -> "
-        f"{pairs_per_sec:.2f} pairs/s ({elapsed / K * 1000:.1f} ms/step)")
+    log(f"headline (fullcached+image): {K} steps x {B} pairs in {elapsed:.2f}s"
+        f" -> {pairs_per_sec:.2f} pairs/s ({elapsed / K * 1000:.1f} ms/step)")
 
     # ---- Diagnostics (best effort, deadline-guarded, stderr only). ----
     def diagnostics():
         nonlocal state
+
+        cbatch = CachedTargetBatch(
+            image_1=fbatch.image_1, normal_image_1=fbatch.normal_image_1,
+            mean_range_1=fbatch.mean_range_1,
+            points_2=batch.points_2, normals_2=batch.normals_2,
+            valid_2=batch.valid_2,
+        )
+
+        if remaining() > 120:
+            # Cached-target step (source projected on device): the path the
+            # trainer uses when augmentation is on.
+            cstep = make_train_step_cached(model, cfg, donate=False)
+            t0 = time.time()
+            _, m = cstep(state, cbatch, jax.random.PRNGKey(6))
+            _, m = cstep(state, cbatch, jax.random.PRNGKey(7))
+            sync(m["loss"])
+            log(f"cached-target compile+warmup: {time.time() - t0:.1f}s; "
+                f"loss={float(m['loss']):.5f}")
+            t0 = time.time()
+            for k in range(K):
+                _, m = cstep(state, cbatch, jax.random.PRNGKey(400 + k))
+            sync(m["loss"])
+            el = time.time() - t0
+            log(f"cached-target: {K} steps x {B} pairs in {el:.2f}s -> "
+                f"{K * B / el:.2f} pairs/s ({el / K * 1000:.1f} ms/step)")
 
         if remaining() > 120:
             # Projective window matcher on the cached path.

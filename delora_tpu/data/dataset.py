@@ -21,7 +21,11 @@ from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from delora_tpu.training.step import CachedTargetBatch, ScanPairBatch
+from delora_tpu.training.step import (
+    CachedTargetBatch,
+    FullyCachedBatch,
+    ScanPairBatch,
+)
 
 
 class ScanPairDataset:
@@ -114,21 +118,27 @@ class ScanPairDataset:
     # resolution — the same RAM-for-speed trade as the reference's
     # store_dataset_in_RAM (reference src/data/dataset.py:82-112).
 
-    def _target_artifacts(self, seq_index: int, scan_index: int):
+    def _scan_artifacts(self, seq_index: int, scan_index: int):
+        """Per-scan ScanArtifacts, computed once and reused for both the
+        target role (pair k) and the source role (pair k-1)."""
         key = (seq_index, scan_index)
         cached = self._target_cache.get(key)
         if cached is None:
             from delora_tpu.ops.projection import ProjectionSpec
-            from delora_tpu.ops.projection_host import target_artifacts_np
+            from delora_tpu.ops.projection_host import scan_artifacts_np
 
             if self._proj_spec is None:
                 self._proj_spec = ProjectionSpec.from_config(
                     self.config, self.dataset
                 )
             pts, nrm, msk = self._get_scan(seq_index, scan_index)
-            cached = target_artifacts_np(pts, nrm, msk, self._proj_spec)
+            cached = scan_artifacts_np(pts, nrm, msk, self._proj_spec)
             self._target_cache[key] = cached
         return cached
+
+    def _target_artifacts(self, seq_index: int, scan_index: int):
+        a = self._scan_artifacts(seq_index, scan_index)
+        return a.image, a.normal_image, a.mean_range
 
     def make_cached_batch(self, indices) -> CachedTargetBatch:
         """Batch with precomputed target images (projective training path)."""
@@ -148,6 +158,36 @@ class ScanPairDataset:
             mean_range_1=np.asarray(mr, np.float32),
             points_2=np.stack(p2), normals_2=np.stack(n2),
             valid_2=np.stack(v2),
+        )
+
+    def make_fullcached_batch(self, indices) -> FullyCachedBatch:
+        """Batch where both scans' projections come from the per-scan cache.
+
+        The default training feed when augmentation is off: no raw point
+        cloud (and no padded-N device sort) enters the train step at all.
+        """
+        cols = {f: [] for f in FullyCachedBatch._fields}
+        for i in indices:
+            si, k = self.pairs[int(i)]
+            tgt = self._scan_artifacts(si, k)
+            src = self._scan_artifacts(si, k + 1)
+            cols["image_1"].append(tgt.image)
+            cols["normal_image_1"].append(tgt.normal_image)
+            cols["mean_range_1"].append(tgt.mean_range)
+            cols["image_2"].append(src.image)
+            cols["src_points"].append(src.src_points)
+            cols["src_normals"].append(src.src_normals)
+            cols["src_valid"].append(src.src_valid)
+            cols["mean_range_2"].append(src.mean_range)
+        return FullyCachedBatch(
+            image_1=np.stack(cols["image_1"]),
+            normal_image_1=np.stack(cols["normal_image_1"]),
+            mean_range_1=np.asarray(cols["mean_range_1"], np.float32),
+            image_2=np.stack(cols["image_2"]),
+            src_points=np.stack(cols["src_points"]),
+            src_normals=np.stack(cols["src_normals"]),
+            src_valid=np.stack(cols["src_valid"]),
+            mean_range_2=np.asarray(cols["mean_range_2"], np.float32),
         )
 
 
@@ -171,12 +211,14 @@ class BatchLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         prefetch: int = 2,
-        cached_targets: bool = False,
+        feed: str = "raw",
     ):
         if batch_size % num_shards != 0:
             raise ValueError("batch_size must divide evenly across hosts")
+        if feed not in ("raw", "cached", "full"):
+            raise ValueError(f"unknown feed mode {feed!r}")
         self.dataset = dataset
-        self.cached_targets = cached_targets
+        self.feed = feed
         self.global_batch = batch_size
         self.local_batch = batch_size // num_shards
         self.shuffle = shuffle
@@ -209,11 +251,11 @@ class BatchLoader:
         if n_batches == 0:
             return iter(())
 
-        make = (
-            self.dataset.make_cached_batch
-            if self.cached_targets
-            else self.dataset.make_batch
-        )
+        make = {
+            "raw": self.dataset.make_batch,
+            "cached": self.dataset.make_cached_batch,
+            "full": self.dataset.make_fullcached_batch,
+        }[self.feed]
 
         def producer(q: "queue.Queue"):
             try:

@@ -92,6 +92,91 @@ def project_scan_np(
     )
 
 
+class ScanArtifacts(NamedTuple):
+    """Everything the fully-cached train step needs from one scan.
+
+    A scan plays two roles across consecutive pairs — target of pair ``k``
+    and source of pair ``k-1`` — and with augmentation off (the default,
+    matching reference config/hyperparameters.yaml) BOTH roles' projection
+    artifacts are epoch-invariant. Computing them once per scan removes every
+    raw-point-cloud sort from the train step (the padded-N sort is the
+    single most expensive step component, docs/BENCH_NOTES.md).
+
+    image:        [H, W, 4] float32 — xyz + range (zeros at empty pixels).
+    normal_image: [H, W, 3] float32 — zero = no-normal sentinel.
+    mean_range:   float — over valid raw points (pair normalization).
+    src_points:   [cap, 3] float32 — surviving points, pixel-ascending order
+                  (exactly ``project_scan_compact``'s compaction order).
+    src_normals:  [cap, 3] float32 — their normals, zero-padded.
+    src_valid:    [cap] bool — slot holds a real survivor.
+    """
+
+    image: np.ndarray
+    normal_image: np.ndarray
+    mean_range: float
+    src_points: np.ndarray
+    src_normals: np.ndarray
+    src_valid: np.ndarray
+
+
+def scan_artifacts_np(
+    points: np.ndarray,
+    normals: np.ndarray,
+    valid: np.ndarray,
+    spec: ProjectionSpec,
+    use_native: bool = True,
+) -> ScanArtifacts:
+    """Per-scan projection artifacts for BOTH pair roles (see ScanArtifacts).
+
+    The survivor compaction mirrors
+    :func:`delora_tpu.ops.projection.project_scan_compact` bit-for-bit:
+    ``point_index`` raveled in pixel order yields winner ids pixel-ascending —
+    the same order the device op's stable winners-first sort produces.
+    """
+    image, normal_image, mean_range, point_index = _artifacts(
+        points, normals, valid, spec, use_native
+    )
+    points = np.asarray(points, np.float32)
+    normals = np.asarray(normals, np.float32)
+    N = points.shape[0]
+    cap = min(N, spec.height * spec.width)
+
+    pi = point_index.ravel()
+    sel = pi[pi >= 0]
+    k = len(sel)
+    src_points = np.zeros((cap, 3), np.float32)
+    src_normals = np.zeros((cap, 3), np.float32)
+    src_valid = np.zeros(cap, bool)
+    src_points[:k] = points[sel, :3]
+    src_normals[:k] = normals[sel, :3]
+    src_valid[:k] = True
+    return ScanArtifacts(
+        image=image, normal_image=normal_image, mean_range=mean_range,
+        src_points=src_points, src_normals=src_normals, src_valid=src_valid,
+    )
+
+
+def _artifacts(points, normals, valid, spec, use_native):
+    """Shared projection + normal-image core -> (+ point_index)."""
+    proj = None
+    if use_native:
+        from delora_tpu.data.native_io import project_scan_native
+
+        native = project_scan_native(points, valid, spec)
+        if native is not None:
+            image, point_index, mean_range = native
+            proj = HostProjection(image, point_index, mean_range)
+    if proj is None:
+        proj = project_scan_np(points, valid, spec)
+    pi = proj.point_index
+    normal_image = np.where(
+        (pi >= 0)[..., None],
+        np.asarray(normals, np.float32)[np.clip(pi, 0, None)],
+        0.0,
+    ).astype(np.float32)
+    return proj.image, normal_image, proj.mean_range, pi
+
+
 def target_artifacts_np(
     points: np.ndarray,
     normals: np.ndarray,
@@ -109,20 +194,7 @@ def target_artifacts_np(
     (delora_tpu/ops/projection.py:248): zero normals at empty pixels — the
     load-bearing "no normal" sentinel.
     """
-    proj = None
-    if use_native:
-        from delora_tpu.data.native_io import project_scan_native
-
-        native = project_scan_native(points, valid, spec)
-        if native is not None:
-            image, point_index, mean_range = native
-            proj = HostProjection(image, point_index, mean_range)
-    if proj is None:
-        proj = project_scan_np(points, valid, spec)
-    pi = proj.point_index
-    normal_image = np.where(
-        (pi >= 0)[..., None],
-        np.asarray(normals, np.float32)[np.clip(pi, 0, None)],
-        0.0,
+    image, normal_image, mean_range, _ = _artifacts(
+        points, normals, valid, spec, use_native
     )
-    return proj.image, normal_image.astype(np.float32), proj.mean_range
+    return image, normal_image, mean_range

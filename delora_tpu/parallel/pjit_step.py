@@ -18,9 +18,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from delora_tpu.parallel.mesh import DATA_AXIS
 from delora_tpu.training.step import (
     CachedTargetBatch,
+    FullyCachedBatch,
     ScanPairBatch,
+    _check_fullcached,
     loss_and_metrics,
     loss_and_metrics_cached,
+    loss_and_metrics_fullcached,
     optax_global_norm,
 )
 
@@ -91,6 +94,32 @@ def make_sharded_train_step_cached(model, cfg, mesh, donate: bool = True):
     def step(state, batch: CachedTargetBatch, rng):
         grad_fn = jax.value_and_grad(
             lambda p: loss_and_metrics_cached(
+                state.apply_fn, p, batch, cfg, rng
+            ),
+            has_aux=True,
+        )
+        (loss, (metrics, _)), grads = grad_fn(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(
+        step,
+        in_shardings=(repl, shard, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_sharded_train_step_fullcached(model, cfg, mesh, donate: bool = True):
+    """Sharded twin of ``make_train_step_fullcached`` (FullyCachedBatch)."""
+    _check_fullcached(cfg)
+    repl = replicated_sharding(mesh)
+    shard = batch_sharding(mesh)
+
+    def step(state, batch: FullyCachedBatch, rng):
+        grad_fn = jax.value_and_grad(
+            lambda p: loss_and_metrics_fullcached(
                 state.apply_fn, p, batch, cfg, rng
             ),
             has_aux=True,

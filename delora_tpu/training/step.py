@@ -343,6 +343,79 @@ def loss_and_metrics_cached(
     )
 
 
+class FullyCachedBatch(NamedTuple):
+    """Batch whose BOTH scans' projection artifacts are precomputed.
+
+    With augmentation off (the default — reference
+    config/hyperparameters.yaml ``random_point_cloud_rotations: False``) the
+    source scan's projection/compaction is epoch-invariant too, so the host
+    cache (delora_tpu/ops/projection_host.py ``scan_artifacts_np``) feeds the
+    step everything downstream of projection: no raw padded point cloud — and
+    therefore no padded-N sort — enters the compiled program at all.
+
+    image_1 / normal_image_1 / mean_range_1: target artifacts, as in
+        :class:`CachedTargetBatch`.
+    image_2:       [B, H, W, 4] source range image (model input).
+    src_points:    [B, cap, 3] compacted surviving source points.
+    src_normals:   [B, cap, 3] their normals (zeros = no normal).
+    src_valid:     [B, cap] bool.
+    mean_range_2:  [B] source mean range (pair normalization).
+    """
+
+    image_1: jnp.ndarray
+    normal_image_1: jnp.ndarray
+    mean_range_1: jnp.ndarray
+    image_2: jnp.ndarray
+    src_points: jnp.ndarray
+    src_normals: jnp.ndarray
+    src_valid: jnp.ndarray
+    mean_range_2: jnp.ndarray
+
+
+def loss_and_metrics_fullcached(
+    apply_fn, params, batch: FullyCachedBatch, cfg: StepConfig, rng
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """``loss_and_metrics`` over a :class:`FullyCachedBatch`.
+
+    Equal to the cached-target step (tests/test_fullcached.py): the host
+    compaction reproduces ``project_scan_compact`` exactly, and under pair
+    normalization all cached artifacts are linear in 1/s (points, images) so
+    scaling them matches re-projecting scaled points (range ordering, hence
+    the per-pixel winner, is scale-invariant). Requires ``augment=False`` —
+    augmentation rotates raw source points before projection, which the
+    cached artifacts cannot express.
+    """
+    _, drop_rng = jax.random.split(rng)
+    image_1, image_2 = batch.image_1, batch.image_2
+    src_pts, src_nrm = batch.src_points, batch.src_normals
+    scale = None
+    if cfg.normalization_scaling:
+        scale = 0.5 * (batch.mean_range_1 + batch.mean_range_2)   # [B]
+        s = scale[:, None, None]
+        src_pts = src_pts / s
+        image_1 = image_1 / s[..., None]      # all 4 channels linear in 1/s
+        image_2 = image_2 / s[..., None]
+    return _loss_tail(
+        apply_fn, params, image_1, batch.normal_image_1,
+        image_2, src_pts, src_nrm, batch.src_valid, cfg, drop_rng,
+        scale=scale,
+    )
+
+
+def _check_fullcached(cfg: StepConfig):
+    if cfg.correspondence not in ("projective", "image"):
+        raise ValueError(
+            "fully-cached training requires projective or image-space "
+            "correspondence"
+        )
+    if cfg.augment:
+        raise ValueError(
+            "fully-cached training requires augmentation off (augmentation "
+            "rotates raw source points before projection; use the "
+            "cached-target step instead)"
+        )
+
+
 def make_train_step(model, cfg: StepConfig, donate: bool = True):
     """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
 
@@ -371,6 +444,26 @@ def make_train_step_cached(model, cfg: StepConfig, donate: bool = True):
     def step(state, batch: CachedTargetBatch, rng):
         grad_fn = jax.value_and_grad(
             lambda p: loss_and_metrics_cached(
+                state.apply_fn, p, batch, cfg, rng
+            ),
+            has_aux=True,
+        )
+        (loss, (metrics, _)), grads = grad_fn(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_train_step_fullcached(model, cfg: StepConfig, donate: bool = True):
+    """Jitted train step over :class:`FullyCachedBatch` inputs."""
+    _check_fullcached(cfg)
+
+    def step(state, batch: FullyCachedBatch, rng):
+        grad_fn = jax.value_and_grad(
+            lambda p: loss_and_metrics_fullcached(
                 state.apply_fn, p, batch, cfg, rng
             ),
             has_aux=True,

@@ -34,6 +34,7 @@ from delora_tpu.training.step import (
     StepConfig,
     make_train_step,
     make_train_step_cached,
+    make_train_step_fullcached,
 )
 from delora_tpu.utils.metrics import MetricsLogger
 
@@ -69,6 +70,17 @@ class Trainer:
             and str(config.get("correspondence", "image"))
             in ("projective", "image")
         )
+        # With augmentation off (the default) the SOURCE projection is
+        # epoch-invariant too: feed fully-cached batches and no raw point
+        # cloud ever enters the compiled step (projection_host.py).
+        self.fully_cached = self.cached_targets and not bool(
+            config["random_point_cloud_rotations"]
+        )
+        self.feed = (
+            "full" if self.fully_cached
+            else "cached" if self.cached_targets
+            else "raw"
+        )
         self.pair_datasets = {
             name: ScanPairDataset(config, name) for name in self.datasets
         }
@@ -78,7 +90,7 @@ class Trainer:
                 ds, self.batch_size,
                 shuffle=True, seed=int(config.get("seed", 0)),
                 num_shards=num_shards, shard_index=jax.process_index(),
-                cached_targets=self.cached_targets,
+                feed=self.feed,
             )
             for name, ds in self.pair_datasets.items()
         }
@@ -169,20 +181,21 @@ class Trainer:
                 from delora_tpu.parallel.pjit_step import (
                     make_sharded_train_step,
                     make_sharded_train_step_cached,
+                    make_sharded_train_step_fullcached,
                 )
 
-                make = (
-                    make_sharded_train_step_cached
-                    if self.cached_targets
-                    else make_sharded_train_step
-                )
+                make = {
+                    "raw": make_sharded_train_step,
+                    "cached": make_sharded_train_step_cached,
+                    "full": make_sharded_train_step_fullcached,
+                }[self.feed]
                 self._steps[key] = make(self.model, cfg, self.mesh)
             else:
-                make = (
-                    make_train_step_cached
-                    if self.cached_targets
-                    else make_train_step
-                )
+                make = {
+                    "raw": make_train_step,
+                    "cached": make_train_step_cached,
+                    "full": make_train_step_fullcached,
+                }[self.feed]
                 self._steps[key] = make(self.model, cfg)
         return self._steps[key]
 

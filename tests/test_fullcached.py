@@ -1,0 +1,156 @@
+"""Fully-cached feed (both scans' projections precomputed on the host).
+
+Pins (a) bit-level parity of the host survivor compaction
+(``scan_artifacts_np``) with the device op (``project_scan_compact``),
+(b) loss/metric equality of the fully-cached step against the cached-target
+step — the trainer's default path when augmentation is off — including under
+pair normalization, and (c) the dataset/trainer feed-mode plumbing.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from delora_tpu.losses.icp import IcpLossConfig
+from delora_tpu.models.odometry import ModelConfig, OdometryModel
+from delora_tpu.ops.projection import project_scan_compact
+from delora_tpu.ops.projection_host import scan_artifacts_np
+from delora_tpu.training.state import create_train_state
+from delora_tpu.training.step import (
+    CachedTargetBatch,
+    FullyCachedBatch,
+    StepConfig,
+    loss_and_metrics_cached,
+    loss_and_metrics_fullcached,
+    make_train_step_fullcached,
+)
+from tests.test_cached_target import _cached_from
+from tests.test_step import PSPEC, synthetic_batch
+
+
+def test_host_compaction_matches_device():
+    batch, _ = synthetic_batch(seed=11)
+    pts = np.asarray(batch.points_2[0])
+    nrm = np.asarray(batch.normals_2[0])
+    valid = np.asarray(batch.valid_2[0])
+
+    dev = project_scan_compact(jnp.asarray(pts), jnp.asarray(valid), PSPEC)
+    host = scan_artifacts_np(pts, nrm, valid, PSPEC)
+
+    np.testing.assert_array_equal(host.src_valid, np.asarray(dev.mask))
+    k = int(host.src_valid.sum())
+    # Winner ids in identical (pixel-ascending) order.
+    np.testing.assert_array_equal(
+        np.asarray(dev.ids)[:k], np.flatnonzero(
+            np.isin(np.arange(len(pts)), np.asarray(dev.ids)[:k])
+        )[np.argsort(np.argsort(np.asarray(dev.ids)[:k]))],
+    )
+    np.testing.assert_allclose(
+        host.src_points[:k], pts[np.asarray(dev.ids)[:k]], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        host.src_normals[:k], nrm[np.asarray(dev.ids)[:k]], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        host.image, np.asarray(dev.image), rtol=1e-6, atol=1e-6
+    )
+
+
+def _fullcached_from(batch):
+    """Assemble a FullyCachedBatch from a raw ScanPairBatch via host caching."""
+    cols = {f: [] for f in FullyCachedBatch._fields}
+    for b in range(batch.points_1.shape[0]):
+        tgt = scan_artifacts_np(
+            np.asarray(batch.points_1[b]), np.asarray(batch.normals_1[b]),
+            np.asarray(batch.valid_1[b]), PSPEC,
+        )
+        src = scan_artifacts_np(
+            np.asarray(batch.points_2[b]), np.asarray(batch.normals_2[b]),
+            np.asarray(batch.valid_2[b]), PSPEC,
+        )
+        cols["image_1"].append(tgt.image)
+        cols["normal_image_1"].append(tgt.normal_image)
+        cols["mean_range_1"].append(tgt.mean_range)
+        cols["image_2"].append(src.image)
+        cols["src_points"].append(src.src_points)
+        cols["src_normals"].append(src.src_normals)
+        cols["src_valid"].append(src.src_valid)
+        cols["mean_range_2"].append(src.mean_range)
+    return FullyCachedBatch(
+        image_1=jnp.asarray(np.stack(cols["image_1"])),
+        normal_image_1=jnp.asarray(np.stack(cols["normal_image_1"])),
+        mean_range_1=jnp.asarray(np.asarray(cols["mean_range_1"], np.float32)),
+        image_2=jnp.asarray(np.stack(cols["image_2"])),
+        src_points=jnp.asarray(np.stack(cols["src_points"])),
+        src_normals=jnp.asarray(np.stack(cols["src_normals"])),
+        src_valid=jnp.asarray(np.stack(cols["src_valid"])),
+        mean_range_2=jnp.asarray(np.asarray(cols["mean_range_2"], np.float32)),
+    )
+
+
+@pytest.mark.parametrize("normalization", [False, True])
+@pytest.mark.parametrize("correspondence", ["image", "projective"])
+def test_fullcached_step_matches_cached(normalization, correspondence):
+    batch, _ = synthetic_batch(seed=13)
+    cached = _cached_from(batch)
+    full = _fullcached_from(batch)
+
+    model = OdometryModel(ModelConfig())
+    state = create_train_state(
+        model, {"learning_rate": 1e-4},
+        jnp.zeros((2, PSPEC.height, PSPEC.width, 4)),
+    )
+    cfg = StepConfig(
+        proj=PSPEC, icp=IcpLossConfig(),
+        correspondence=correspondence,
+        normalization_scaling=normalization,
+    )
+    rng = jax.random.PRNGKey(21)
+
+    loss_a, (metrics_a, _) = jax.jit(
+        lambda p, b, r: loss_and_metrics_cached(state.apply_fn, p, b, cfg, r)
+    )(state.params, cached, rng)
+    loss_b, (metrics_b, _) = jax.jit(
+        lambda p, b, r: loss_and_metrics_fullcached(state.apply_fn, p, b, cfg, r)
+    )(state.params, full, rng)
+
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5, atol=1e-7)
+    for k in metrics_a:
+        if k == "visible_pixels":
+            # The fullcached step's visibility stat counts compacted source
+            # slots; cached counts raw padded slots — same up to dedup ties.
+            np.testing.assert_allclose(
+                float(metrics_a[k]), float(metrics_b[k]), rtol=0.02,
+            )
+            continue
+        np.testing.assert_allclose(
+            float(metrics_a[k]), float(metrics_b[k]), rtol=1e-4, atol=1e-6,
+            err_msg=f"metric {k} diverges between fullcached and cached step",
+        )
+
+
+def test_fullcached_rejects_augmentation():
+    cfg = StepConfig(proj=PSPEC, icp=IcpLossConfig(), augment=True)
+    with pytest.raises(ValueError, match="augmentation"):
+        make_train_step_fullcached(OdometryModel(ModelConfig()), cfg)
+
+
+def test_dataset_fullcached_batch_and_trainer_feed(tmp_path):
+    from tests.test_data import tiny_config, write_synthetic_preprocessed
+    from delora_tpu.data.dataset import ScanPairDataset
+    from delora_tpu.ops.projection import ProjectionSpec
+
+    write_synthetic_preprocessed(str(tmp_path))
+    config = tiny_config(tmp_path)
+    ds = ScanPairDataset(config, "kitti")
+    fb = ds.make_fullcached_batch([0, 1])
+    spec = ProjectionSpec.from_config(config, "kitti")
+    cap = min(ds.max_points, spec.height * spec.width)
+    assert fb.image_1.shape == (2, spec.height, spec.width, 4)
+    assert fb.image_2.shape == (2, spec.height, spec.width, 4)
+    assert fb.src_points.shape == (2, cap, 3)
+    assert fb.src_valid.shape == (2, cap)
+    # pair 0's source scan is pair 1's target scan: same cached image.
+    np.testing.assert_array_equal(fb.image_2[0], fb.image_1[1])
