@@ -169,13 +169,33 @@ def image_space_correspondence(
     pixel space.
     """
     H, W = spec.height, spec.width
-    wv, wu = window
-    a, b = wv // 2, wu // 2
-    K = wv * wu
-
     src_xyz = warped_src_image[..., 0:3].reshape(H * W, 3)
     src_nrm = warped_src_image[..., 3:6].reshape(H * W, 3)
     src_occ = warped_src_image[..., 6].reshape(H * W) > 0.0   # range > 0
+    corr = image_space_correspondence_core(
+        src_xyz, src_occ, target_image, target_normal_image, spec, window
+    )
+    return src_xyz, src_nrm, corr.valid, corr
+
+
+def image_space_correspondence_core(
+    src_xyz: jnp.ndarray,                # [H*W, 3] per-pixel source points
+    src_occ: jnp.ndarray,                # [H*W] bool — pixel holds a point
+    target_image: jnp.ndarray,           # [H, W, >=3] projected target
+    target_normal_image: jnp.ndarray,    # [H, W, 3]
+    spec: ProjectionSpec,
+    window: Tuple[int, int] = (5, 9),
+) -> Correspondence:
+    """Window matching core over per-pixel source arrays.
+
+    ``src_xyz`` may carry gradients — the selection loop runs on a detached
+    copy (matching the reference's KD-index ``detach()``) and only the final
+    residual recompute is differentiable.
+    """
+    H, W = spec.height, spec.width
+    wv, wu = window
+    a, b = wv // 2, wu // 2
+    K = wv * wu
 
     occ = jnp.any(target_image[..., :3] != 0.0, axis=-1, keepdims=True)
     tgt = jnp.concatenate(
@@ -219,8 +239,7 @@ def image_space_correspondence(
     tgt_nrm = jnp.where(valid[:, None], best_nrm, 0.0)
     dd = src_xyz - tgt_pts
     sq_out = jnp.where(valid, jnp.sum(dd * dd, axis=-1), jnp.inf)
-    corr = Correspondence(tgt_pts, tgt_nrm, valid, sq_out)
-    return src_xyz, src_nrm, valid, corr
+    return Correspondence(tgt_pts, tgt_nrm, valid, sq_out)
 
 
 def brute_force_correspondence(

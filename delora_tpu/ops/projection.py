@@ -245,6 +245,66 @@ def project_scan_compact(
     )
 
 
+def project_image_packed(
+    points: jnp.ndarray, valid: jnp.ndarray, spec: ProjectionSpec,
+    values: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Image-only projection via ONE packed-key sort — the warped-source fast
+    path of the image-space matcher.
+
+    ``project_scan`` pays three sorts (winner selection, survivor unpermute,
+    searchsorted); when only the image is needed (re-projecting the warped
+    source inside the train step, delora_tpu/training/step.py ``_loss_tail``)
+    the (pixel, range) compound key packs into a single uint32 —
+    ``pix << 16 | f32_bits(range) >> 16`` — because IEEE float bits are
+    monotonic for positive finite values. One 2-operand single-key sort plus
+    a packed-prefix binary search replaces them. The 16-bit range truncation
+    only affects WINNER TIE-BREAKING between points whose ranges agree to
+    ~0.4% within one pixel — the kept point is still (near-)closest; ties go
+    to the smaller point id (stable sort), like everywhere else.
+
+    Requires H*W < 2**16 (holds at train resolutions; the preprocessing
+    resolution path keeps using :func:`project_scan`).
+
+    ``values`` (optional, [N, C]): per-point channels to store in the image
+    INSTEAD of the coordinates — pixel/range keys still come from ``points``.
+    Lets the train step project warped positions while storing the points'
+    ORIGINAL coordinates, so the differentiable warp can be re-applied
+    per-pixel afterwards and no gather sits on the gradient path
+    (delora_tpu/training/step.py ``_loss_tail``). The appended range channel
+    is always the range of ``points``.
+    """
+    N = points.shape[0]
+    H, W = spec.height, spec.width
+    num_pix = H * W
+    if num_pix >= (1 << 16):
+        raise ValueError(
+            f"project_image_packed needs H*W < 65536, got {num_pix}; "
+            "use project_scan"
+        )
+
+    r, _, _, in_fov, pix = _pixel_coords(points, valid, spec)
+    # Monotonic 16-bit key for positive ranges: top half of the f32 bits.
+    r_bits = jax.lax.bitcast_convert_type(r.astype(jnp.float32), jnp.uint32)
+    key = (pix.astype(jnp.uint32) << 16) | (r_bits >> 16)
+    key = jnp.where(in_fov, key, jnp.uint32(num_pix) << 16)
+
+    point_ids = jnp.arange(N, dtype=jnp.int32)
+    sorted_key, sorted_ids = jax.lax.sort((key, point_ids), num_keys=1)
+
+    pixel_keys = (jnp.arange(num_pix, dtype=jnp.uint32)) << 16
+    pos = jnp.searchsorted(sorted_key, pixel_keys, side="left", method="sort")
+    pos = jnp.minimum(pos, N - 1)
+    found = (sorted_key[pos] >> 16) == (pixel_keys >> 16)
+    win_ids = jnp.where(found, sorted_ids[pos], 0)
+
+    feat = jnp.concatenate(
+        [points if values is None else values, r[:, None]], axis=-1
+    )
+    image = jnp.where(found[:, None], feat[win_ids], 0.0)
+    return image.reshape(H, W, feat.shape[-1])
+
+
 def gather_image_attribute(attr: jnp.ndarray, point_index: jnp.ndarray) -> jnp.ndarray:
     """Per-point attribute ``[N, C]`` -> per-pixel image ``[H, W, C]``.
 

@@ -30,13 +30,14 @@ from delora_tpu import se3
 from delora_tpu.losses.icp import IcpLossConfig, icp_losses
 from delora_tpu.ops.correspondence import (
     brute_force_correspondence,
-    image_space_correspondence,
+    image_space_correspondence_core,
     projective_correspondence,
 )
 from delora_tpu.ops.projection import (
     ProjectionSpec,
     compute_uv,
     gather_image_attribute,
+    project_image_packed,
     project_scan,
     project_scan_compact,
 )
@@ -201,20 +202,43 @@ def _loss_tail(
             )
         )(src_pts, src_valid, image_1, target_normal_image)
     elif cfg.correspondence == "image":
-        # Gather-free image-space matching: re-project the warped source
-        # (rotated normals riding as extra channels — project_scan images
-        # every input channel) and match per pixel against shifted target
-        # images. The loss then runs over pixels instead of points.
-        warped = jnp.concatenate([src_pts, src_nrm], axis=-1)   # [B, cap, 6]
-        wproj = jax.vmap(lambda p, m: project_scan(p, m, cfg.proj))(
-            warped, src_valid
+        # Gather-free image-space matching: re-project the warped source and
+        # match per pixel against shifted target images; the loss runs over
+        # pixels instead of points. The projection stores each winner's
+        # ORIGINAL coordinates/normal (keys from the detached warped
+        # positions) and the differentiable warp is re-applied per PIXEL
+        # afterwards — so the only gradient path to T is elementwise
+        # (gather commutes with the pointwise warp: identical values and
+        # gradients, but no gather/scatter in the backward graph —
+        # docs/BENCH_NOTES.md r9; the reference likewise detaches the
+        # correspondence search, icp_losses.py:64-67).
+        pos_sel = se3.transform_points(jax.lax.stop_gradient(T), pts_c)
+        vals = jnp.concatenate([pts_c, nrm_c], axis=-1)         # [B, cap, 6]
+        # Image-only packed-key projection (one sort) at train resolutions;
+        # project_scan if H*W exceeds the 16-bit pixel-key budget.
+        if cfg.proj.height * cfg.proj.width < (1 << 16):
+            wimage = jax.vmap(
+                lambda p, v, m: project_image_packed(p, m, cfg.proj, values=v)
+            )(pos_sel, vals, src_valid)
+        else:
+            wimage = jax.vmap(
+                lambda pv, m: project_scan(pv, m, cfg.proj).image[..., 3:]
+            )(jnp.concatenate([pos_sel, vals], axis=-1), src_valid)
+        # wimage [B, H, W, 7]: original xyz, original normal, warped range.
+        HW = cfg.proj.height * cfg.proj.width
+        x0 = wimage[..., 0:3].reshape(-1, HW, 3)
+        n0 = wimage[..., 3:6].reshape(-1, HW, 3)
+        s_occ = wimage[..., 6].reshape(-1, HW) > 0.0
+        s_xyz = jnp.where(
+            s_occ[..., None], se3.transform_points(T, x0), 0.0
         )
-        s_xyz, s_nrm, s_valid, corr = jax.vmap(
-            lambda wimg, img, nimg: image_space_correspondence(
-                wimg, img, nimg, cfg.proj, cfg.window
+        s_nrm = se3.rotate_points(T, n0)                         # 0 stays 0
+        corr = jax.vmap(
+            lambda sx, so, img, nimg: image_space_correspondence_core(
+                sx, so, img, nimg, cfg.proj, cfg.window
             )
-        )(wproj.image, image_1, target_normal_image)
-        loss_src = (s_xyz, s_nrm, s_valid)
+        )(s_xyz, s_occ, image_1, target_normal_image)
+        loss_src = (s_xyz, s_nrm, corr.valid)
     else:
         if brute_target is None:
             raise ValueError(

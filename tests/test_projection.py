@@ -146,3 +146,32 @@ def test_project_scan_compact_matches_project_scan():
     assert mask.sum() == len(survivors)
     assert set(ids[mask].tolist()) == survivors
     assert not mask[mask.argmin():].any()  # mask is front-compacted
+
+
+def test_project_image_packed_matches_project_scan():
+    """The packed-key image-only projection picks the same winners except
+    where two in-pixel candidates' ranges agree to the 16-bit truncation
+    (~0.4%) — there the kept point is still near-closest."""
+    from delora_tpu.ops.projection import project_image_packed
+
+    rng = np.random.default_rng(5)
+    N = 4096
+    pts = rng.normal(size=(N, 3)).astype(np.float32) * np.array(
+        [8.0, 8.0, 0.5], np.float32
+    )
+    pts[:, 2] -= 1.5
+    valid = rng.random(N) > 0.1
+
+    ref = project_scan(jnp.asarray(pts), jnp.asarray(valid), SPEC)
+    fast = project_image_packed(jnp.asarray(pts), jnp.asarray(valid), SPEC)
+
+    ref_img = np.asarray(ref.image)
+    fast_img = np.asarray(fast)
+    assert ref_img.shape == fast_img.shape
+    # Occupancy is identical (only winner choice can differ).
+    np.testing.assert_array_equal(ref_img[..., 3] > 0, fast_img[..., 3] > 0)
+    diff = np.any(ref_img != fast_img, axis=-1)
+    if diff.any():
+        r_ref = ref_img[..., 3][diff]
+        r_fast = fast_img[..., 3][diff]
+        np.testing.assert_allclose(r_fast, r_ref, rtol=5e-3)
