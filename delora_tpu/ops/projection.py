@@ -248,20 +248,37 @@ def project_scan_compact(
 def project_image_packed(
     points: jnp.ndarray, valid: jnp.ndarray, spec: ProjectionSpec,
     values: jnp.ndarray = None,
+    tile: int = 1024, smax: int = 3072,
 ) -> jnp.ndarray:
-    """Image-only projection via ONE packed-key sort — the warped-source fast
-    path of the image-space matcher.
+    """Image-only projection: ONE packed-key fat sort + windowed one-hot
+    matmul placement — the warped-source fast path of the image-space matcher
+    (delora_tpu/training/step.py ``_loss_tail``).
 
-    ``project_scan`` pays three sorts (winner selection, survivor unpermute,
-    searchsorted); when only the image is needed (re-projecting the warped
-    source inside the train step, delora_tpu/training/step.py ``_loss_tail``)
-    the (pixel, range) compound key packs into a single uint32 —
+    The (pixel, range) compound key packs into a single uint32 —
     ``pix << 16 | f32_bits(range) >> 16`` — because IEEE float bits are
-    monotonic for positive finite values. One 2-operand single-key sort plus
-    a packed-prefix binary search replaces them. The 16-bit range truncation
-    only affects WINNER TIE-BREAKING between points whose ranges agree to
-    ~0.4% within one pixel — the kept point is still (near-)closest; ties go
-    to the smaller point id (stable sort), like everywhere else.
+    monotonic for positive finite values. The 16-bit range truncation only
+    affects WINNER TIE-BREAKING between points whose ranges agree to ~0.4%
+    within one pixel — the kept point is still (near-)closest; ties go to
+    the earlier point (stable sort), like everywhere else.
+
+    TPU-shaped dense placement (measured on v5e, docs/BENCH_NOTES.md r10):
+    ``searchsorted(method="sort")`` + winner row-gather cost ~14.4 ms per
+    8 KITTI scans — both row-rate-bound. Instead:
+
+      1. the VALUE CHANNELS RIDE THE SORT as extra operands (sorts are
+         key-compare-bound; 8 payload columns cost ~0.7 ms extra),
+      2. winners are placed densely by a windowed one-hot matmul: for each
+         run of ``tile`` pixels, the (at most ``smax``) sorted entries whose
+         pixels fall in that run are dynamic-sliced out, and
+         ``image_tile = (pix == q & first_of_run) @ window_values`` selects
+         each pixel's winner on the MXU. Each eq column has at most one 1 and
+         the matmul runs at Precision.HIGHEST, so placement is EXACT.
+
+    Window overflow: if more than ``smax`` sorted entries land in one
+    pixel-tile (pathological pitch compression), the overflowing tail's
+    pixels come out empty — they are simply excluded from the loss, like any
+    unmatched pixel. At KITTI scale a tile holds ~1.1k entries (at most one
+    source point per source pixel), so smax=3072 is ~3x headroom.
 
     Requires H*W < 2**16 (holds at train resolutions; the preprocessing
     resolution path keeps using :func:`project_scan`).
@@ -270,9 +287,8 @@ def project_image_packed(
     INSTEAD of the coordinates — pixel/range keys still come from ``points``.
     Lets the train step project warped positions while storing the points'
     ORIGINAL coordinates, so the differentiable warp can be re-applied
-    per-pixel afterwards and no gather sits on the gradient path
-    (delora_tpu/training/step.py ``_loss_tail``). The appended range channel
-    is always the range of ``points``.
+    per-pixel afterwards and no gather sits on the gradient path. The
+    appended range channel is always the range of ``points``.
     """
     N = points.shape[0]
     H, W = spec.height, spec.width
@@ -289,20 +305,52 @@ def project_image_packed(
     key = (pix.astype(jnp.uint32) << 16) | (r_bits >> 16)
     key = jnp.where(in_fov, key, jnp.uint32(num_pix) << 16)
 
-    point_ids = jnp.arange(N, dtype=jnp.int32)
-    sorted_key, sorted_ids = jax.lax.sort((key, point_ids), num_keys=1)
-
-    pixel_keys = (jnp.arange(num_pix, dtype=jnp.uint32)) << 16
-    pos = jnp.searchsorted(sorted_key, pixel_keys, side="left", method="sort")
-    pos = jnp.minimum(pos, N - 1)
-    found = (sorted_key[pos] >> 16) == (pixel_keys >> 16)
-    win_ids = jnp.where(found, sorted_ids[pos], 0)
-
     feat = jnp.concatenate(
         [points if values is None else values, r[:, None]], axis=-1
     )
-    image = jnp.where(found[:, None], feat[win_ids], 0.0)
-    return image.reshape(H, W, feat.shape[-1])
+    C = feat.shape[-1]
+    smax = min(smax, N)
+
+    # (1) Fat sort: values ride as payload operands.
+    ops = (key,) + tuple(feat[:, c] for c in range(C))
+    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    sorted_key = sorted_ops[0]
+    sorted_vals = jnp.stack(sorted_ops[1:], axis=-1)           # [N, C]
+
+    pix_sorted = (sorted_key >> 16).astype(jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), pix_sorted[1:] != pix_sorted[:-1]]
+    ) & (pix_sorted < num_pix)
+
+    # (2) Windowed one-hot matmul placement.
+    num_tiles = -(-num_pix // tile)
+    hw_pad = num_tiles * tile
+    tile_starts = (jnp.arange(num_tiles, dtype=jnp.uint32) * tile) << 16
+    pos = jnp.searchsorted(sorted_key, tile_starts, side="left")
+    pos = jnp.minimum(pos, jnp.uint32(N - 1)).astype(jnp.int32)
+
+    pix_pad = jnp.pad(pix_sorted, (0, smax), constant_values=num_pix + 1)
+    first_pad = jnp.pad(first, (0, smax))
+    vals_pad = jnp.pad(sorted_vals, ((0, smax), (0, 0)))
+
+    def tile_fn(t):
+        p0 = pos[t]
+        w_pix = jax.lax.dynamic_slice(pix_pad, (p0,), (smax,))
+        w_first = jax.lax.dynamic_slice(first_pad, (p0,), (smax,))
+        w_vals = jax.lax.dynamic_slice(vals_pad, (p0, 0), (smax, C))
+        q = (t * tile + jnp.arange(tile, dtype=jnp.int32))[:, None]
+        eq = ((w_pix[None, :] == q) & w_first[None, :]).astype(jnp.float32)
+        return jnp.dot(
+            eq, w_vals,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    tiles = jax.lax.map(
+        tile_fn, jnp.arange(num_tiles, dtype=jnp.int32), batch_size=5
+    )
+    image = tiles.reshape(hw_pad, C)[:num_pix]
+    return image.reshape(H, W, C)
 
 
 def gather_image_attribute(attr: jnp.ndarray, point_index: jnp.ndarray) -> jnp.ndarray:

@@ -163,7 +163,12 @@ def test_project_image_packed_matches_project_scan():
     valid = rng.random(N) > 0.1
 
     ref = project_scan(jnp.asarray(pts), jnp.asarray(valid), SPEC)
-    fast = project_image_packed(jnp.asarray(pts), jnp.asarray(valid), SPEC)
+    # N > H*W here, so give the placement windows full headroom (the train
+    # step's inputs are survivor-compacted to N <= H*W, where the default
+    # smax has ~3x headroom).
+    fast = project_image_packed(
+        jnp.asarray(pts), jnp.asarray(valid), SPEC, smax=N
+    )
 
     ref_img = np.asarray(ref.image)
     fast_img = np.asarray(fast)
