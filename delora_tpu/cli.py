@@ -135,6 +135,22 @@ def cmd_export_torch(args):
     print(f"[export-torch] wrote {args.out}")
 
 
+def cmd_visualize_normals(args):
+    """Render normals of a preprocessed scan (parity with the reference's
+    bin/visualize_pointcloud_normals.py RViz flow, headless)."""
+    import os
+    import subprocess
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "visualize_normals.py",
+    )
+    cmd = [sys.executable, script, args.sequence_dir, str(args.scan)]
+    if args.out:
+        cmd.append(args.out)
+    sys.exit(subprocess.call(cmd))
+
+
 def cmd_serve(args):
     config = _build_config(args, "testing")
     from delora_tpu.serving.stream import StreamingOdometry
@@ -175,6 +191,14 @@ def main(argv: Optional[list] = None):
     _common_flags(p)
     p.add_argument("--out", required=True, help="output .pth path")
     p.set_defaults(fn=cmd_export_torch)
+
+    p = sub.add_parser("visualize-normals",
+                       help="render a preprocessed scan's normals (quiver)")
+    p.add_argument("sequence_dir",
+                   help="preprocessed sequence dir (contains scans/ normals/)")
+    p.add_argument("--scan", type=int, default=0)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_visualize_normals)
 
     p = sub.add_parser("serve", help="streaming odometry (10 Hz budget)")
     _common_flags(p)
