@@ -140,6 +140,28 @@ class ScanPairDataset:
         a = self._scan_artifacts(seq_index, scan_index)
         return a.image, a.normal_image, a.mean_range
 
+    def prewarm_artifacts(self, num_threads: int = 8) -> int:
+        """Compute every scan's projection artifacts up front, in parallel.
+
+        The native projection (dio_project_scan) runs without the GIL under
+        ctypes, so a thread pool gives near-linear warmup speedup; afterwards
+        the first epoch runs at steady-state speed instead of paying the
+        per-scan projection lazily. Returns the number of scans computed.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        todo = [
+            (si, k)
+            for si, scans in enumerate(self.scan_files)
+            for k in range(len(scans))
+            if (si, k) not in self._target_cache
+        ]
+        if not todo:
+            return 0
+        with ThreadPoolExecutor(max_workers=max(1, num_threads)) as pool:
+            list(pool.map(lambda key: self._scan_artifacts(*key), todo))
+        return len(todo)
+
     def make_cached_batch(self, indices) -> CachedTargetBatch:
         """Batch with precomputed target images (projective training path)."""
         img, nimg, mr, p2, n2, v2 = [], [], [], [], [], []

@@ -95,6 +95,19 @@ class Trainer:
             for name, ds in self.pair_datasets.items()
         }
 
+        # Warm the per-scan artifact cache up front (threaded; the native
+        # projection releases the GIL) so epoch 0 runs at steady-state speed.
+        if self.feed != "raw" and bool(config.get("prewarm_cache", True)):
+            n_threads = int(config.get("prewarm_threads", 8))
+            t0 = time.time()
+            n = sum(
+                ds.prewarm_artifacts(n_threads)
+                for ds in self.pair_datasets.values()
+            )
+            if n:
+                print(f"[trainer] prewarmed {n} scan projections in "
+                      f"{time.time() - t0:.1f}s ({n_threads} threads)")
+
         # Checkpointing + metrics
         self.ckpt = CheckpointManager(
             config.get("checkpoint_dir", "./checkpoints_tpu"),

@@ -180,3 +180,31 @@ def test_project_image_packed_matches_project_scan():
         r_ref = ref_img[..., 3][diff]
         r_fast = fast_img[..., 3][diff]
         np.testing.assert_allclose(r_fast, r_ref, rtol=5e-3)
+
+
+def test_project_image_packed_window_overflow_degrades_gracefully():
+    """When more than ``smax`` sorted entries land in one pixel-tile, the
+    overflowing tail's pixels come out EMPTY (excluded from any loss), never
+    garbage. Forced here by funneling many points into few pixels."""
+    from delora_tpu.ops.projection import project_image_packed
+
+    rng = np.random.default_rng(9)
+    N = 512
+    # All points on one bearing: they collapse into a handful of pixels.
+    base = np.array([5.0, 0.0, -1.0], np.float32)
+    pts = base[None, :] * (1.0 + rng.random((N, 1), dtype=np.float32))
+    valid = np.ones(N, bool)
+
+    img_full = project_image_packed(
+        jnp.asarray(pts), jnp.asarray(valid), SPEC, smax=N
+    )
+    img_tight = project_image_packed(
+        jnp.asarray(pts), jnp.asarray(valid), SPEC, smax=64, tile=SPEC.width
+    )
+    full = np.asarray(img_full)
+    tight = np.asarray(img_tight)
+    occ_full = full[..., 3] > 0
+    occ_tight = tight[..., 3] > 0
+    # Tight windows can only LOSE pixels, and kept pixels match exactly.
+    assert (occ_tight & ~occ_full).sum() == 0
+    np.testing.assert_array_equal(tight[occ_tight], full[occ_tight])
