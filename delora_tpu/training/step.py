@@ -87,6 +87,7 @@ class StepConfig(NamedTuple):
             augment_only_yaw=bool(config["random_rotations_only_yaw"]),
             augment_magnitude_rad=float(config["magnitude_random_rot"]) / 180.0 * math.pi,
             normalization_scaling=bool(config["normalization_scaling"]),
+            use_pallas_nn=bool(config.get("use_pallas_nn", False)),
         )
 
 
