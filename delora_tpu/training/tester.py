@@ -61,22 +61,74 @@ class Tester:
             config.get("log_dir", "./runs"), config.get("experiment", "default"),
             self.run_name, use_mlflow=bool(config.get("use_mlflow", False)),
         )
+        self._datasets_cache: Dict[str, ScanPairDataset] = {}
+        self._infer_images = None
+        self.cached_projections = bool(
+            self.config.get("cache_target_projections", True)
+        )
+
+    def _dataset(self, dataset: str) -> ScanPairDataset:
+        if dataset not in self._datasets_cache:
+            self._datasets_cache[dataset] = ScanPairDataset(self.config, dataset)
+        return self._datasets_cache[dataset]
 
     def predict_sequence(self, dataset: str, sequence_index: int) -> np.ndarray:
-        """All relative transforms of one sequence, batched -> [K, 4, 4]."""
-        ds = ScanPairDataset(self.config, dataset)
-        cfg = StepConfig.from_config(self.config, dataset, supervised=False)
-        infer = make_infer_step(self.model, cfg)
+        """All relative transforms of one sequence, batched -> [K, 4, 4].
 
-        pair_ids = [i for i, (si, _) in enumerate(ds.pairs) if si == sequence_index]
-        out: List[np.ndarray] = []
+        Default path: each scan is projected ONCE on the host (per-scan
+        artifact cache — consecutive pairs share scans, so the reference's
+        per-pair re-projection does ~2x the work) and inference is a pure
+        batched model forward on the cached images. Falls back to full
+        in-step projection when the cache is disabled.
+        """
+        ds = self._dataset(dataset)
+        cfg = StepConfig.from_config(self.config, dataset, supervised=False)
         B = self.batch_size
+        pair_ids = [i for i, (si, _) in enumerate(ds.pairs) if si == sequence_index]
+
+        if not self.cached_projections:
+            infer = make_infer_step(self.model, cfg)
+            out: List[np.ndarray] = []
+            for start in range(0, len(pair_ids), B):
+                chunk = pair_ids[start:start + B]
+                padded = chunk + [chunk[-1]] * (B - len(chunk))
+                batch = ds.make_batch(padded)
+                T = np.asarray(infer(self.state.params, batch))
+                out.extend(T[: len(chunk)])
+            return np.stack(out)
+
+        import jax.numpy as jnp
+
+        from delora_tpu.training.step import forward_pose
+
+        if self._infer_images is None:
+            def infer_images(params, img1, img2, scale):
+                if cfg.normalization_scaling:
+                    s = scale[:, None, None, None]
+                    img1, img2 = img1 / s, img2 / s
+                T = forward_pose(self.model.apply, params, img1, img2)
+                if cfg.normalization_scaling:
+                    T = T.at[:, :3, 3].multiply(scale[:, None])
+                return T
+
+            self._infer_images = jax.jit(infer_images)
+
+        n_scans = len(ds.scan_files[sequence_index])
+        arts = [ds._scan_artifacts(sequence_index, k) for k in range(n_scans)]
+        images = np.stack([a.image for a in arts])
+        mean_r = np.asarray([a.mean_range for a in arts], np.float32)
+        out = []
         for start in range(0, len(pair_ids), B):
-            chunk = pair_ids[start:start + B]
-            padded = chunk + [chunk[-1]] * (B - len(chunk))
-            batch = ds.make_batch(padded)
-            T = np.asarray(infer(self.state.params, batch))
-            out.extend(T[: len(chunk)])
+            n = min(B, len(pair_ids) - start)
+            sel = np.arange(start, start + n)
+            sel = np.concatenate([sel, np.full(B - n, sel[-1])])
+            scale = jnp.asarray(0.5 * (mean_r[sel] + mean_r[sel + 1]))
+            T = np.asarray(self._infer_images(
+                self.state.params,
+                jnp.asarray(images[sel]), jnp.asarray(images[sel + 1]),
+                scale,
+            ))
+            out.extend(T[:n])
         return np.stack(out)
 
     def test(self) -> Dict[str, Dict[int, Optional[tuple]]]:
@@ -171,7 +223,7 @@ class Tester:
 
         from delora_tpu.training.step import loss_and_metrics
 
-        ds = ScanPairDataset(self.config, dataset)
+        ds = self._dataset(dataset)
         cfg = StepConfig.from_config(self.config, dataset, supervised=False)
         fn = jax.jit(
             lambda params, batch, rng: loss_and_metrics(

@@ -80,3 +80,61 @@ def test_identity_odometry_baseline_metric(gt_world):
     ident = np.tile(np.eye(4), (len(gt), 1, 1))
     t_rel, r_rel = P.kitti_benchmark_summary(gt, ident)
     assert 80.0 < t_rel <= 110.0
+
+
+def test_cached_eval_matches_uncached(gt_world):
+    """predict_sequence via host-cached per-scan images == full in-step
+    projection (the host projection is bit-parity-tested, so the model sees
+    identical inputs either way).
+
+    The rotation-head bias is pinned to (0,0,0,1): an untrained head emits
+    near-ZERO raw quaternions, whose per-row normalization amplifies
+    compile-order float noise (the two paths are different XLA programs)
+    into degree-scale rotation differences — a property of normalizing a
+    ~0 vector, not of the eval paths. A non-degenerate quaternion scale
+    makes the comparison meaningful and tight."""
+    import jax
+    import jax.numpy as jnp
+
+    from delora_tpu.models.odometry import ModelConfig, OdometryModel
+    from delora_tpu.training.state import create_train_state
+    from delora_tpu.training.tester import Tester
+
+    tmp, config = gt_world
+    model = OdometryModel(ModelConfig.from_config(config))
+    spec = config["kitti"]
+    state = create_train_state(
+        model, config,
+        jnp.zeros((4, spec["vertical_cells"], spec["horizontal_cells"], 4)),
+    )
+    params = jax.tree_util.tree_map(lambda x: x, state.params)  # shallow copy
+    mlp = params["params"]["_Mlp_0"]
+    last = sorted(k for k in mlp if k.startswith("Dense"))[-1]
+    mlp[last]["bias"] = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+    state = state.replace(params=params)
+
+    cfg_a = dict(config)
+    cfg_a["cache_target_projections"] = True
+    cfg_b = dict(config)
+    cfg_b["cache_target_projections"] = False
+    tester_a = Tester(cfg_a, state=state, run_name="ca")
+    rel_a = tester_a.predict_sequence("kitti", 0)
+    rel_b = Tester(cfg_b, state=state, run_name="cb").predict_sequence("kitti", 0)
+
+    # (a) The cached path IS the plain forward on the cached images — exact:
+    # pins the tester's pair->scan indexing and batching.
+    from delora_tpu.training.step import forward_pose
+
+    ds = tester_a._dataset("kitti")
+    for k in (0, 57, len(rel_a) - 1):
+        img1 = jnp.asarray(ds._scan_artifacts(0, k).image)[None]
+        img2 = jnp.asarray(ds._scan_artifacts(0, k + 1).image)[None]
+        T = np.asarray(forward_pose(model.apply, state.params, img1, img2))[0]
+        np.testing.assert_allclose(rel_a[k], T, rtol=1e-5, atol=1e-6)
+
+    # (b) Cached vs uncached agree up to cross-XLA-program float noise: the
+    # two paths are DIFFERENT compiled programs (with/without in-step
+    # projection), whose conv reduction orders differ; on an untrained net
+    # fed unnormalized ~70 m ranges that noise reaches ~1e-2 in T. The
+    # images themselves are bit-parity-tested in tests/test_cached_target.py.
+    np.testing.assert_allclose(rel_a, rel_b, atol=0.05)
