@@ -118,7 +118,10 @@ class Trainer:
         self.device_cached = False
         self._device_scans: Dict[str, list] = {}
         budget = int(config.get("hbm_cache_scans", 3072))
-        if self.feed == "full" and budget > 0:
+        # Multi-host feeds assemble global arrays from process-local NUMPY
+        # shards (make_array_from_process_local_data) — device-resident
+        # caching applies to single-process runs.
+        if self.feed == "full" and budget > 0 and jax.process_count() == 1:
             total = sum(
                 sum(len(s) for s in ds.scan_files)
                 for ds in self.pair_datasets.values()

@@ -30,6 +30,14 @@ TRANSFORM_LIDAR_TO_WORLD = np.array(
 )
 
 
+def rotmat_to_quat_xyzw_np(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> quaternion (x, y, z, w), numpy/scipy.
+
+    Same convention as tf.transformations.quaternion_from_matrix used by the
+    reference node (odometry_publisher.py:152-153)."""
+    return Rotation.from_matrix(np.asarray(R)).as_quat()
+
+
 def reorthonormalize_np(T: np.ndarray) -> np.ndarray:
     """scipy quaternion round trip, as the reference does (poses.py:43-49)."""
     r = Rotation.from_matrix(T[:3, :3])

@@ -93,3 +93,25 @@ StreamingOdometry(serving_config(), dataset="kitti").serve_stdin()
     assert "pose" in lines[2] and "latency_ms" in lines[2]
     assert "pose" in lines[3]
     assert "error" in lines[4]          # bad path -> error line, loop survives
+
+
+def test_ros_bridge_gates_cleanly_without_ros():
+    """The ROS bridge imports everywhere, raises a clear error on use
+    without rospy, and its quaternion helper matches se3."""
+    import numpy as np
+    import pytest
+
+    from delora_tpu.serving import ros_bridge
+    from delora_tpu import se3
+    import jax.numpy as jnp
+
+    if not ros_bridge.ROS_AVAILABLE:
+        with pytest.raises(ImportError, match="delora serve"):
+            ros_bridge.RosOdometryBridge({}, checkpoint=None)
+
+    R = np.asarray(se3.quat_to_rotmat(
+        se3.normalize_quat(jnp.asarray([0.1, -0.2, 0.3, 0.9]))
+    ))
+    q = ros_bridge.rotmat_to_quat_np(R)
+    R2 = np.asarray(se3.quat_to_rotmat(jnp.asarray(q)))
+    np.testing.assert_allclose(R, R2, atol=1e-6)
