@@ -242,6 +242,68 @@ def image_space_correspondence_core(
     return Correspondence(tgt_pts, tgt_nrm, valid, sq_out)
 
 
+def image_space_correspondence_batch(
+    src_xyz: jnp.ndarray,                # [B, H*W, 3] per-pixel source points
+    src_occ: jnp.ndarray,                # [B, H*W] bool
+    target_image: jnp.ndarray,           # [B, H, W, >=3]
+    target_normal_image: jnp.ndarray,    # [B, H, W, 3]
+    spec: ProjectionSpec,
+    window: Tuple[int, int] = (5, 9),
+    backend: str = "auto",
+) -> Correspondence:
+    """Batched :func:`image_space_correspondence_core`.
+
+    backend: "xla" (vmapped fori_loop core), "pallas" (fused VMEM-resident
+    kernel, delora_tpu/ops/pallas/window_match.py), or "auto" (pallas on TPU
+    backends, xla elsewhere). Both produce identical winners (same dv-major
+    iteration order and strict-< tie-breaking).
+    """
+    if backend == "auto":
+        backend = (
+            "pallas" if jax.devices()[0].platform in ("tpu", "axon") else "xla"
+        )
+    if backend == "xla":
+        return jax.vmap(
+            lambda sx, so, img, nimg: image_space_correspondence_core(
+                sx, so, img, nimg, spec, window
+            )
+        )(src_xyz, src_occ, target_image, target_normal_image)
+
+    from delora_tpu.ops.pallas.window_match import window_match_pallas
+
+    H, W = spec.height, spec.width
+    wv, wu = window
+    a = wv // 2
+    B = src_xyz.shape[0]
+
+    occ = jnp.any(target_image[..., :3] != 0.0, axis=-1, keepdims=True)
+    tgt = jnp.concatenate(
+        [target_image[..., :3], target_normal_image,
+         occ.astype(target_image.dtype)], axis=-1
+    )                                                         # [B, H, W, 7]
+    tgt_pad = jnp.pad(tgt, ((0, 0), (a, a), (0, 0), (0, 0)))
+    tgt_planes = jnp.transpose(tgt_pad, (0, 3, 1, 2))         # [B, 7, H+2a, W]
+    src_planes = jnp.transpose(
+        jax.lax.stop_gradient(src_xyz).reshape(B, H, W, 3), (0, 3, 1, 2)
+    )
+
+    best_sq, best_xyz, best_nrm = window_match_pallas(
+        src_planes, tgt_planes, wv=wv, wu=wu,
+        # Forced-pallas on a non-TPU backend runs the interpreter (tests).
+        interpret=jax.devices()[0].platform not in ("tpu", "axon"),
+    )
+    best_xyz = jnp.transpose(best_xyz, (0, 2, 3, 1)).reshape(B, H * W, 3)
+    best_nrm = jnp.transpose(best_nrm, (0, 2, 3, 1)).reshape(B, H * W, 3)
+    best_sq = best_sq.reshape(B, H * W)
+
+    valid = src_occ & jnp.isfinite(best_sq)
+    tgt_pts = jnp.where(valid[..., None], best_xyz, 0.0)
+    tgt_nrm = jnp.where(valid[..., None], best_nrm, 0.0)
+    dd = src_xyz - tgt_pts
+    sq_out = jnp.where(valid, jnp.sum(dd * dd, axis=-1), jnp.inf)
+    return Correspondence(tgt_pts, tgt_nrm, valid, sq_out)
+
+
 def brute_force_correspondence(
     source_points: jnp.ndarray,      # [S, 3]
     source_valid: jnp.ndarray,       # [S]

@@ -1,0 +1,106 @@
+"""Pallas TPU kernel: image-space window correspondence.
+
+Fused replacement for the XLA ``fori_loop`` in
+:func:`delora_tpu.ops.correspondence.image_space_correspondence_core`: the
+padded target slab stays RESIDENT in VMEM across all K = wv*wu window offsets
+(the XLA loop re-streams the slices from HBM each iteration), and the
+per-pixel running best (squared distance, target point, target normal) never
+leaves the vector registers between offsets.
+
+Layout: channel-separated planes ``[C, H, W]`` so the wide azimuth axis
+(W = 720 at KITTI train resolution) rides the 128-lane dimension and the
+candidate shifts become cheap lane rolls; a channels-last layout would waste
+121 of 128 lanes on C = 7.
+
+Iteration order (dv-major, du-minor, strict ``<``) matches the XLA core
+exactly, so winner tie-breaking is identical.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _match_kernel(src_ref, tgt_ref, sq_ref, xyz_ref, nrm_ref, *,
+                  H: int, W: int, wv: int, wu: int):
+    """src_ref: [1, 3, H, W] detached warped source xyz planes.
+    tgt_ref: [1, 7, H + wv - 1, W] vertically-padded target planes
+             (x, y, z, nx, ny, nz, occupancy).
+    Outputs: best sq [1, H, W], best xyz / normal [1, 3, H, W]."""
+    bu = wu // 2
+    Hp = H + wv - 1
+    src = src_ref[0]                                      # [3, H, W]
+    tgt_full = tgt_ref[0]                                 # [7, Hp, W]
+
+    best_sq = jnp.full((H, W), jnp.inf, jnp.float32)
+    best_xyz = jnp.zeros((3, H, W), jnp.float32)
+    best_nrm = jnp.zeros((3, H, W), jnp.float32)
+
+    # Both window loops are STATIC (K = wv*wu vector-op bodies): Mosaic
+    # requires 8-aligned sublane slice starts, so the vertical offset is a
+    # sublane ROLL + aligned [0:H] slice instead of a dynamic slice.
+    for dv in range(wv):
+        slab = pltpu.roll(tgt_full, (-dv) % Hp, axis=1)[:, :H, :]  # [7, H, W]
+        for du in range(-bu, bu + 1):
+            cand = pltpu.roll(slab, (-du) % W, axis=2)    # shift must be >= 0
+            d = cand[0:3] - src
+            sq = jnp.sum(d * d, axis=0)                   # [H, W]
+            sq = jnp.where(cand[6] > 0.5, sq, jnp.inf)
+            better = sq < best_sq
+            best_sq = jnp.where(better, sq, best_sq)
+            best_xyz = jnp.where(better[None], cand[0:3], best_xyz)
+            best_nrm = jnp.where(better[None], cand[3:6], best_nrm)
+
+    sq_ref[0] = best_sq
+    xyz_ref[0] = best_xyz
+    nrm_ref[0] = best_nrm
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wv", "wu", "interpret")
+)
+def window_match_pallas(
+    src_planes: jnp.ndarray,    # [B, 3, H, W] detached warped source xyz
+    tgt_planes: jnp.ndarray,    # [B, 7, H + wv - 1, W] padded target planes
+    *,
+    wv: int,
+    wu: int,
+    interpret: bool = False,
+):
+    """-> (best_sq [B, H, W], best_xyz [B, 3, H, W], best_nrm [B, 3, H, W]).
+
+    ``best_sq`` is +inf where no occupied target pixel exists in the window.
+    """
+    B, _, H, W = src_planes.shape
+    assert tgt_planes.shape == (B, 7, H + wv - 1, W), tgt_planes.shape
+
+    kernel = functools.partial(_match_kernel, H=H, W=W, wv=wv, wu=wu)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 3, H, W), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 7, H + wv - 1, W), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, H, W), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, H, W), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, H, W), jnp.float32),
+        ],
+        interpret=interpret,
+    )(src_planes, tgt_planes)

@@ -30,7 +30,7 @@ from delora_tpu import se3
 from delora_tpu.losses.icp import IcpLossConfig, icp_losses
 from delora_tpu.ops.correspondence import (
     brute_force_correspondence,
-    image_space_correspondence_core,
+    image_space_correspondence_batch,
     projective_correspondence,
 )
 from delora_tpu.ops.projection import (
@@ -72,6 +72,7 @@ class StepConfig(NamedTuple):
     augment_magnitude_rad: float = 0.0698     # 4 degrees
     normalization_scaling: bool = False
     use_pallas_nn: bool = False
+    matcher_backend: str = "auto"             # "auto" | "xla" | "pallas"
 
     @classmethod
     def from_config(cls, config, dataset: str, *, supervised: bool):
@@ -88,6 +89,7 @@ class StepConfig(NamedTuple):
             augment_magnitude_rad=float(config["magnitude_random_rot"]) / 180.0 * math.pi,
             normalization_scaling=bool(config["normalization_scaling"]),
             use_pallas_nn=bool(config.get("use_pallas_nn", False)),
+            matcher_backend=str(config.get("matcher_backend", "auto")),
         )
 
 
@@ -234,11 +236,10 @@ def _loss_tail(
             s_occ[..., None], se3.transform_points(T, x0), 0.0
         )
         s_nrm = se3.rotate_points(T, n0)                         # 0 stays 0
-        corr = jax.vmap(
-            lambda sx, so, img, nimg: image_space_correspondence_core(
-                sx, so, img, nimg, cfg.proj, cfg.window
-            )
-        )(s_xyz, s_occ, image_1, target_normal_image)
+        corr = image_space_correspondence_batch(
+            s_xyz, s_occ, image_1, target_normal_image,
+            cfg.proj, cfg.window, backend=cfg.matcher_backend,
+        )
         loss_src = (s_xyz, s_nrm, corr.valid)
     else:
         if brute_target is None:

@@ -57,3 +57,62 @@ def test_ragged_sizes_padded_correctly():
     tree = cKDTree(tgt)
     dist, _ = tree.query(src)
     np.testing.assert_allclose(np.sqrt(np.asarray(sq)), dist, atol=1e-2)
+
+
+def test_window_match_pallas_matches_xla_core():
+    """Fused Pallas window matcher == XLA fori_loop core (same iteration
+    order, same tie-breaking), interpret mode on CPU."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from delora_tpu.ops.correspondence import image_space_correspondence_core
+    from delora_tpu.ops.pallas.window_match import window_match_pallas
+    from delora_tpu.ops.projection import ProjectionSpec
+
+    H, W, wv, wu = 8, 32, 3, 5
+    spec = ProjectionSpec(
+        height=H, width=W,
+        fov_down=np.deg2rad(-24.5), fov_up=np.deg2rad(2.0),
+        fov_left=np.deg2rad(-179.9), fov_right=np.deg2rad(179.9),
+    )
+    rng = np.random.default_rng(3)
+    B = 2
+    src = rng.normal(size=(B, H * W, 3)).astype(np.float32) * 4
+    occ_src = rng.random((B, H * W)) > 0.2
+    timg = rng.normal(size=(B, H, W, 4)).astype(np.float32) * 4
+    # Some empty target pixels (zero xyz -> unoccupied).
+    timg[rng.random((B, H, W)) < 0.3] = 0.0
+    nimg = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    nimg[np.all(timg[..., :3] == 0, axis=-1)] = 0.0
+
+    ref = jax.vmap(
+        lambda sx, so, i, n: image_space_correspondence_core(
+            sx, so, i, n, spec, (wv, wu)
+        )
+    )(jnp.asarray(src), jnp.asarray(occ_src), jnp.asarray(timg),
+      jnp.asarray(nimg))
+
+    a = wv // 2
+    occ = np.any(timg[..., :3] != 0, axis=-1, keepdims=True)
+    tgt = np.concatenate([timg[..., :3], nimg, occ.astype(np.float32)], -1)
+    tgt_pad = np.pad(tgt, ((0, 0), (a, a), (0, 0), (0, 0)))
+    sq, xyz, nrm = window_match_pallas(
+        jnp.asarray(src.reshape(B, H, W, 3).transpose(0, 3, 1, 2)),
+        jnp.asarray(tgt_pad.transpose(0, 3, 1, 2)),
+        wv=wv, wu=wu, interpret=True,
+    )
+    xyz = np.asarray(xyz).transpose(0, 2, 3, 1).reshape(B, H * W, 3)
+    nrm = np.asarray(nrm).transpose(0, 2, 3, 1).reshape(B, H * W, 3)
+    sq = np.asarray(sq).reshape(B, H * W)
+
+    valid = occ_src & np.isfinite(sq)
+    np.testing.assert_array_equal(valid, np.asarray(ref.valid))
+    np.testing.assert_allclose(
+        np.where(valid[..., None], xyz, 0.0), np.asarray(ref.target_points),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.where(valid[..., None], nrm, 0.0), np.asarray(ref.target_normals),
+        rtol=1e-6, atol=1e-6,
+    )
