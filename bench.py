@@ -236,7 +236,9 @@ def main():
 
             # Serving steady state: each scan projected ONCE, previous image
             # cached on device (delora_tpu/serving/stream.py push_scan).
-            project1 = jax.jit(lambda p, v: project_scan(p, v, pspec).image[None])
+            from delora_tpu.ops.projection import project_image
+
+            project1 = jax.jit(lambda p, v: project_image(p, v, pspec)[None])
             forward1 = jax.jit(
                 lambda params, i1, i2: forward_pose(model.apply, params, i1, i2)[0]
             )

@@ -248,7 +248,7 @@ def project_scan_compact(
 def project_image_packed(
     points: jnp.ndarray, valid: jnp.ndarray, spec: ProjectionSpec,
     values: jnp.ndarray = None,
-    tile: int = 1024, smax: int = 3072,
+    tile: int = 1024, smax: int = 2048,
 ) -> jnp.ndarray:
     """Image-only projection: ONE packed-key fat sort + windowed one-hot
     matmul placement — the warped-source fast path of the image-space matcher
@@ -271,14 +271,20 @@ def project_image_packed(
          run of ``tile`` pixels, the (at most ``smax``) sorted entries whose
          pixels fall in that run are dynamic-sliced out, and
          ``image_tile = (pix == q & first_of_run) @ window_values`` selects
-         each pixel's winner on the MXU. Each eq column has at most one 1 and
-         the matmul runs at Precision.HIGHEST, so placement is EXACT.
+         each pixel's winner on the MXU. Placement is EXACT without paying
+         for a 6-pass float32 matmul: the one-hot side is exactly 0/1 in
+         bfloat16, and the value side is split into three bfloat16 channels
+         (hi/mid/lo, together carrying all 24 f32 mantissa bits — the same
+         decomposition XLA's BF16_6X mode uses) concatenated along the
+         channel axis, so ONE default-precision bf16 matmul with f32
+         accumulation selects each winner bit-exactly (products are x*1.0,
+         and each output element sums exactly one nonzero per split).
 
     Window overflow: if more than ``smax`` sorted entries land in one
     pixel-tile (pathological pitch compression), the overflowing tail's
     pixels come out empty — they are simply excluded from the loss, like any
     unmatched pixel. At KITTI scale a tile holds ~1.1k entries (at most one
-    source point per source pixel), so smax=3072 is ~3x headroom.
+    source point per source pixel), so smax=2048 is ~2x headroom.
 
     Requires H*W < 2**16 (holds at train resolutions; the preprocessing
     resolution path keeps using :func:`project_scan`).
@@ -331,26 +337,47 @@ def project_image_packed(
 
     pix_pad = jnp.pad(pix_sorted, (0, smax), constant_values=num_pix + 1)
     first_pad = jnp.pad(first, (0, smax))
-    vals_pad = jnp.pad(sorted_vals, ((0, smax), (0, 0)))
+    # Exact 3-way bf16 split of the f32 values (hi + mid + lo == value):
+    # each residual holds <= 8 further mantissa bits, so all three are exact.
+    hi = sorted_vals.astype(jnp.bfloat16)
+    r1 = sorted_vals - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    split_vals = jnp.concatenate([hi, mid, lo], axis=-1)       # [N, 3C] bf16
+    vals_pad = jnp.pad(split_vals, ((0, smax), (0, 0)))
 
     def tile_fn(t):
         p0 = pos[t]
         w_pix = jax.lax.dynamic_slice(pix_pad, (p0,), (smax,))
         w_first = jax.lax.dynamic_slice(first_pad, (p0,), (smax,))
-        w_vals = jax.lax.dynamic_slice(vals_pad, (p0, 0), (smax, C))
+        w_vals = jax.lax.dynamic_slice(vals_pad, (p0, 0), (smax, 3 * C))
         q = (t * tile + jnp.arange(tile, dtype=jnp.int32))[:, None]
-        eq = ((w_pix[None, :] == q) & w_first[None, :]).astype(jnp.float32)
-        return jnp.dot(
-            eq, w_vals,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        eq = ((w_pix[None, :] == q) & w_first[None, :]).astype(jnp.bfloat16)
+        out = jnp.dot(eq, w_vals, preferred_element_type=jnp.float32)
+        return out[:, :C] + out[:, C:2 * C] + out[:, 2 * C:]
 
     tiles = jax.lax.map(
         tile_fn, jnp.arange(num_tiles, dtype=jnp.int32), batch_size=5
     )
     image = tiles.reshape(hw_pad, C)[:num_pix]
     return image.reshape(H, W, C)
+
+
+def project_image(
+    points: jnp.ndarray, valid: jnp.ndarray, spec: ProjectionSpec
+) -> jnp.ndarray:
+    """Image-only projection ``[N, C>=3] -> [H, W, C+1]``.
+
+    The inference/serving path needs only the range image — none of the
+    survivor/index artifacts — so it takes the single-fat-sort packed-key
+    route (3x fewer sorts than :func:`project_scan`) whenever the pixel key
+    fits 16 bits, falling back to :func:`project_scan` otherwise. Winner
+    tie-breaking between points whose ranges agree to ~0.4% within one pixel
+    may differ from :func:`project_scan` (see :func:`project_image_packed`).
+    """
+    if spec.height * spec.width < (1 << 16):
+        return project_image_packed(points, valid, spec)
+    return project_scan(points, valid, spec).image
 
 
 def gather_image_attribute(attr: jnp.ndarray, point_index: jnp.ndarray) -> jnp.ndarray:

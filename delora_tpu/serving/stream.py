@@ -31,7 +31,7 @@ from delora_tpu.models.odometry import ModelConfig, OdometryModel
 from delora_tpu.training.checkpoint import CheckpointManager
 from delora_tpu.training.state import create_train_state
 from delora_tpu.training.step import forward_pose
-from delora_tpu.ops.projection import ProjectionSpec, project_scan
+from delora_tpu.ops.projection import ProjectionSpec, project_image
 
 MIN_RANGE = 0.3
 
@@ -91,7 +91,10 @@ class StreamingOdometry:
         # async dispatches; no extra host<->device traffic.
         @jax.jit
         def _project(pts, valid):
-            return project_scan(pts, valid, self.pspec).image[None]
+            # Image-only single-sort projection: the serving path needs no
+            # survivor/index artifacts (SURVEY.md §3.4 — no normals, no
+            # KD-tree at inference).
+            return project_image(pts, valid, self.pspec)[None]
 
         @jax.jit
         def _forward(params, img_prev, img_cur):

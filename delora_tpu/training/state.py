@@ -22,7 +22,18 @@ def make_optimizer(config, global_batch_size: int) -> optax.GradientTransformati
     lr = float(config["learning_rate"])
     if config.get("lr_scaling", "none") == "linear":
         lr = lr * global_batch_size / float(config.get("lr_scaling_base_batch", 32))
-    return optax.adam(lr)
+    tx = optax.adam(lr)
+    # Measured on v5e (scripts/perf_probe2.py): flattening the update via
+    # optax.flatten is a REGRESSION inside the jitted step (11.9 -> 18.4 ms
+    # full step) — XLA already horizontally fuses the per-leaf elementwise
+    # Adam kernels, while ravel_pytree's concatenate/split adds two full
+    # passes over the 48 MB parameter vector. Kept as an opt-in knob
+    # (numerically identical — tests/test_checkpoint.py::
+    # test_fused_adam_matches_per_leaf) for topologies where per-leaf
+    # dispatch dominates.
+    if config.get("fused_adam", False):
+        tx = optax.flatten(tx)
+    return tx
 
 
 def create_train_state(model, config, example_images, rng=None) -> TrainState:

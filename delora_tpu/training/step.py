@@ -37,6 +37,7 @@ from delora_tpu.ops.projection import (
     ProjectionSpec,
     compute_uv,
     gather_image_attribute,
+    project_image,
     project_image_packed,
     project_scan,
     project_scan_compact,
@@ -124,11 +125,11 @@ def _pair_normalization(batch: ScanPairBatch):
 
 
 def _image_pair(batch: ScanPairBatch, cfg: StepConfig):
-    """Project both scans; return images + per-scan survivor data."""
-    proj = functools.partial(project_scan, spec=cfg.proj)
-    p1 = jax.vmap(proj)(batch.points_1, batch.valid_1)
-    p2 = jax.vmap(proj)(batch.points_2, batch.valid_2)
-    return p1, p2
+    """Project both scans to range images (image-only fast path)."""
+    proj = functools.partial(project_image, spec=cfg.proj)
+    i1 = jax.vmap(proj)(batch.points_1, batch.valid_1)
+    i2 = jax.vmap(proj)(batch.points_2, batch.valid_2)
+    return i1, i2
 
 
 def forward_pose(apply_fn, params, image_1, image_2, quat_also=False,
@@ -515,8 +516,8 @@ def make_infer_step(model, cfg: StepConfig):
         b, scale = (batch, None)
         if cfg.normalization_scaling:
             b, scale = _pair_normalization(batch)
-        proj_1, proj_2 = _image_pair(b, cfg)
-        T = forward_pose(model.apply, params, proj_1.image, proj_2.image)
+        image_1, image_2 = _image_pair(b, cfg)
+        T = forward_pose(model.apply, params, image_1, image_2)
         if scale is not None:
             T = T.at[:, :3, 3].multiply(scale[:, None])
         return T

@@ -56,6 +56,36 @@ def test_embedded_config_reader(tmp_path):
     assert cfg["activation_fct"] == "tanh"
 
 
+def test_fused_adam_matches_per_leaf():
+    """optax.flatten(adam) must be numerically identical to per-leaf adam."""
+    from delora_tpu.training.state import make_optimizer
+
+    cfg_fused = {"learning_rate": 1e-3}                       # default: fused
+    cfg_leaf = {"learning_rate": 1e-3, "fused_adam": False}
+    rng = np.random.default_rng(0)
+    params = {
+        "a": rng.normal(size=(3, 5)).astype(np.float32),
+        "b": {"w": rng.normal(size=(7,)).astype(np.float32)},
+    }
+    txs = [make_optimizer(c, 1) for c in (cfg_fused, cfg_leaf)]
+    states = [tx.init(params) for tx in txs]
+    ps = [jax.tree.map(jnp.asarray, params) for _ in txs]
+    for step in range(3):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(
+                rng.normal(size=p.shape).astype(np.float32)
+            ),
+            params,
+        )
+        for i, tx in enumerate(txs):
+            updates, states[i] = tx.update(grads, states[i], ps[i])
+            import optax
+
+            ps[i] = optax.apply_updates(ps[i], updates)
+    for a, b in zip(jax.tree.leaves(ps[0]), jax.tree.leaves(ps[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
 def test_linear_lr_scaling():
     from delora_tpu.training.state import make_optimizer
 

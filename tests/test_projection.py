@@ -208,3 +208,23 @@ def test_project_image_packed_window_overflow_degrades_gracefully():
     # Tight windows can only LOSE pixels, and kept pixels match exactly.
     assert (occ_tight & ~occ_full).sum() == 0
     np.testing.assert_array_equal(tight[occ_tight], full[occ_tight])
+
+
+def test_project_image_dispatch_both_branches():
+    """project_image == project_scan(...).image on both the packed route
+    (small pixel key) and the project_scan fallback (H*W >= 2**16)."""
+    from delora_tpu.ops.projection import project_image
+
+    pts, valid = make_cloud(seed=11)
+    small = np.asarray(
+        project_image(jnp.asarray(pts), jnp.asarray(valid), SPEC))
+    ref = np.asarray(
+        project_scan(jnp.asarray(pts), jnp.asarray(valid), SPEC).image)
+    np.testing.assert_allclose(small, ref, atol=1e-6)
+
+    big_spec = SPEC._replace(width=1 << 13, height=8)   # H*W = 2**16
+    big = np.asarray(
+        project_image(jnp.asarray(pts), jnp.asarray(valid), big_spec))
+    big_ref = np.asarray(
+        project_scan(jnp.asarray(pts), jnp.asarray(valid), big_spec).image)
+    np.testing.assert_allclose(big, big_ref, atol=1e-6)
