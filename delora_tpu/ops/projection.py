@@ -335,6 +335,27 @@ def project_image_packed(
     pos = jnp.searchsorted(sorted_key, tile_starts, side="left")
     pos = jnp.minimum(pos, jnp.uint32(N - 1)).astype(jnp.int32)
 
+    return _windowed_placement(
+        pix_sorted, first, sorted_vals, pos, spec, tile, smax
+    )
+
+
+def _windowed_placement(
+    pix_sorted, first, sorted_vals, pos, spec: ProjectionSpec,
+    tile: int, smax: int,
+) -> jnp.ndarray:
+    """Dense winner placement: windowed one-hot matmul on the MXU.
+
+    ``pix_sorted`` [N] i32 ascending, ``first`` [N] bool (winner slots),
+    ``sorted_vals`` [N, C] f32 riding the sort, ``pos`` [num_tiles] i32 —
+    index of the first sorted entry of each pixel tile. -> [H, W, C].
+    """
+    N, C = sorted_vals.shape
+    H, W = spec.height, spec.width
+    num_pix = H * W
+    num_tiles = -(-num_pix // tile)
+    hw_pad = num_tiles * tile
+
     pix_pad = jnp.pad(pix_sorted, (0, smax), constant_values=num_pix + 1)
     first_pad = jnp.pad(first, (0, smax))
     # Exact 3-way bf16 split of the f32 values (hi + mid + lo == value):
@@ -361,6 +382,55 @@ def project_image_packed(
     )
     image = tiles.reshape(hw_pad, C)[:num_pix]
     return image.reshape(H, W, C)
+
+
+def project_values_exact(
+    points: jnp.ndarray, valid: jnp.ndarray, spec: ProjectionSpec,
+    values: jnp.ndarray = None,
+    tile: int = 1024, smax: int = 2048,
+) -> jnp.ndarray:
+    """Image-only projection with EXACT ``project_scan`` winner semantics
+    and per-point payload channels: ONE two-key fat sort + windowed one-hot
+    placement.
+
+    Same placement as :func:`project_image_packed`, but the sort keys are the
+    exact (pixel i32, range f32) pair — identical winner selection and
+    tie-breaking to :func:`project_scan` / the host/native projections (the
+    range rides as an image channel anyway, so keying on it adds no
+    bandwidth, only a second comparator). Use this when parity with the
+    3-sort path matters (static scan projections); the 16-bit packed key
+    remains the cheapest option where near-tie winner flips are acceptable
+    (the warped-source reprojection, whose keys move every step).
+
+    -> [H, W, C + 1]: ``values`` (or the coordinates) + appended range.
+    """
+    N = points.shape[0]
+    num_pix = spec.height * spec.width
+
+    r, _, _, in_fov, pix = _pixel_coords(points, valid, spec)
+    feat = jnp.concatenate(
+        [points if values is None else values, r[:, None]], axis=-1
+    )
+    C = feat.shape[-1]
+    smax = min(smax, N)
+
+    ops = (pix, r) + tuple(feat[:, c] for c in range(C))
+    sorted_ops = jax.lax.sort(ops, num_keys=2)
+    pix_sorted = sorted_ops[0]
+    sorted_vals = jnp.stack(sorted_ops[2:], axis=-1)           # [N, C]
+
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), pix_sorted[1:] != pix_sorted[:-1]]
+    ) & (pix_sorted < num_pix)
+
+    num_tiles = -(-num_pix // tile)
+    tile_starts = jnp.arange(num_tiles, dtype=jnp.int32) * tile
+    pos = jnp.searchsorted(pix_sorted, tile_starts, side="left")
+    pos = jnp.minimum(pos, N - 1).astype(jnp.int32)
+
+    return _windowed_placement(
+        pix_sorted, first, sorted_vals, pos, spec, tile, smax
+    )
 
 
 def project_image(

@@ -39,6 +39,7 @@ from delora_tpu.ops.projection import (
     gather_image_attribute,
     project_image,
     project_image_packed,
+    project_values_exact,
     project_scan,
     project_scan_compact,
 )
@@ -162,21 +163,38 @@ def _loss_core(
     # points enter the loss (deployer.py:257-261); projection guarantees
     # <= H*W survivors (one winner per pixel), so correspondence/loss work
     # shrinks from N (padded, e.g. 131k) to H*W (e.g. 46k) losslessly.
-    proj_2 = jax.vmap(lambda p, m: project_scan_compact(p, m, cfg.proj))(
-        points_2, valid_2
-    )
-    image_2 = proj_2.image
+    HW = cfg.proj.height * cfg.proj.width
+    if HW < (1 << 16):
+        # Single fat sort: normals ride the packed-key projection as payload,
+        # and the placed image IS the compaction — surviving points read out
+        # pixel-major ([H*W] slots, empty pixels masked) with no id sorts and
+        # no gathers. Channels: xyz(3), normal(3), range(1).
+        vals = jnp.concatenate([points_2, normals_2], axis=-1)
+        wimg = jax.vmap(
+            lambda p, v, m: project_values_exact(p, m, cfg.proj, values=v)
+        )(points_2, vals, valid_2)
+        image_2 = jnp.concatenate([wimg[..., 0:3], wimg[..., 6:7]], axis=-1)
+        B = wimg.shape[0]
+        pts_c = wimg[..., 0:3].reshape(B, HW, 3)
+        nrm_c = wimg[..., 3:6].reshape(B, HW, 3)
+        src_valid = wimg[..., 6].reshape(B, HW) > 0.0
+    else:
+        proj_2 = jax.vmap(lambda p, m: project_scan_compact(p, m, cfg.proj))(
+            points_2, valid_2
+        )
+        image_2 = proj_2.image
 
-    def compact(pts, nrm, ids, mask):
-        both = jnp.concatenate([pts, nrm], axis=-1)[ids]    # one fused gather
-        return both[:, :3] * mask[:, None], both[:, 3:] * mask[:, None]
+        def compact(pts, nrm, ids, mask):
+            both = jnp.concatenate([pts, nrm], axis=-1)[ids]  # one fused gather
+            return both[:, :3] * mask[:, None], both[:, 3:] * mask[:, None]
 
-    pts_c, nrm_c = jax.vmap(compact)(
-        points_2, normals_2, proj_2.ids, proj_2.mask
-    )
+        pts_c, nrm_c = jax.vmap(compact)(
+            points_2, normals_2, proj_2.ids, proj_2.mask
+        )
+        src_valid = proj_2.mask
     return _loss_tail(
         apply_fn, params, image_1, target_normal_image,
-        image_2, pts_c, nrm_c, proj_2.mask, cfg, drop_rng,
+        image_2, pts_c, nrm_c, src_valid, cfg, drop_rng,
         brute_target=brute_target, scale=scale,
     )
 
@@ -304,16 +322,31 @@ def loss_and_metrics(
     if cfg.normalization_scaling:
         batch, scale = _pair_normalization(batch)
 
-    proj_1 = jax.vmap(lambda p, m: project_scan(p, m, cfg.proj))(
-        batch.points_1, batch.valid_1
-    )
-    target_normal_image = jax.vmap(gather_image_attribute)(
-        batch.normals_1, proj_1.point_index
-    )
+    HW = cfg.proj.height * cfg.proj.width
+    if cfg.correspondence != "brute" and HW < (1 << 16):
+        # Target image + normal image from ONE packed fat sort (normals ride
+        # as payload) — replaces project_scan (3 sorts) + the per-pixel
+        # normal gather.
+        vals = jnp.concatenate([batch.points_1, batch.normals_1], axis=-1)
+        timg = jax.vmap(
+            lambda p, v, m: project_values_exact(p, m, cfg.proj, values=v)
+        )(batch.points_1, vals, batch.valid_1)
+        image_1 = jnp.concatenate([timg[..., 0:3], timg[..., 6:7]], axis=-1)
+        target_normal_image = timg[..., 3:6]
+        brute_target = None
+    else:
+        proj_1 = jax.vmap(lambda p, m: project_scan(p, m, cfg.proj))(
+            batch.points_1, batch.valid_1
+        )
+        image_1 = proj_1.image
+        target_normal_image = jax.vmap(gather_image_attribute)(
+            batch.normals_1, proj_1.point_index
+        )
+        brute_target = (batch.points_1, proj_1.survivor, batch.normals_1)
     return _loss_core(
-        apply_fn, params, proj_1.image, target_normal_image,
+        apply_fn, params, image_1, target_normal_image,
         batch.points_2, batch.normals_2, batch.valid_2, cfg, drop_rng,
-        brute_target=(batch.points_1, proj_1.survivor, batch.normals_1),
+        brute_target=brute_target,
         scale=scale,
     )
 
