@@ -228,3 +228,30 @@ def test_project_image_dispatch_both_branches():
     big_ref = np.asarray(
         project_scan(jnp.asarray(pts), jnp.asarray(valid), big_spec).image)
     np.testing.assert_allclose(big, big_ref, atol=1e-6)
+
+
+def test_project_values_exact_matches_project_scan():
+    """The 2-key fat-sort projection must match project_scan bit-for-bit,
+    including equal-(pixel, range) ties (stable -> smallest point id wins)."""
+    from delora_tpu.ops.projection import (
+        gather_image_attribute, project_values_exact,
+    )
+
+    pts, valid = make_cloud(n=800, seed=13)
+    # Inject exact duplicates (same pixel, same range, different payload
+    # index) to exercise tie-breaking.
+    pts[100] = pts[50]
+    pts[101] = pts[50]
+    valid[100] = valid[101] = valid[50] = True
+    attr = np.arange(800 * 3, dtype=np.float32).reshape(800, 3)
+
+    ref = project_scan(jnp.asarray(pts), jnp.asarray(valid), SPEC)
+    ref_attr = gather_image_attribute(jnp.asarray(attr), ref.point_index)
+    out = project_values_exact(
+        jnp.asarray(pts), jnp.asarray(valid), SPEC,
+        values=jnp.asarray(attr),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out[..., :3]), np.asarray(ref_attr))
+    np.testing.assert_array_equal(
+        np.asarray(out[..., 3]), np.asarray(ref.image[..., 3]))
