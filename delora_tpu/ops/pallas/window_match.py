@@ -62,7 +62,7 @@ def _match_kernel(src_ref, tgt_ref, sq_ref, xyz_ref, nrm_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("wv", "wu", "interpret")
+    jax.jit, static_argnames=("wv", "wu", "interpret", "max_batch")
 )
 def window_match_pallas(
     src_planes: jnp.ndarray,    # [B, 3, H, W] detached warped source xyz
@@ -71,13 +71,33 @@ def window_match_pallas(
     wv: int,
     wu: int,
     interpret: bool = False,
+    max_batch: int = 8,
 ):
     """-> (best_sq [B, H, W], best_xyz [B, 3, H, W], best_nrm [B, 3, H, W]).
 
     ``best_sq`` is +inf where no occupied target pixel exists in the window.
+
+    Batches larger than ``max_batch`` are split into separate pallas_calls
+    and re-concatenated: with one big call, XLA's scoped-VMEM accounting of
+    the whole output tuple overflows the 16 MB stack limit at KITTI scale
+    (observed at B=32 even with 16-row chunks: "Ran out of memory in memory space vmem ... scoped
+    allocation 18.81M"); per-chunk calls keep each allocation bounded while
+    the kernel itself is unchanged (its per-grid-step footprint was never
+    the problem).
     """
     B, _, H, W = src_planes.shape
     assert tgt_planes.shape == (B, 7, H + wv - 1, W), tgt_planes.shape
+    if B > max_batch:
+        chunks = [
+            window_match_pallas(
+                src_planes[i:i + max_batch], tgt_planes[i:i + max_batch],
+                wv=wv, wu=wu, interpret=interpret, max_batch=max_batch,
+            )
+            for i in range(0, B, max_batch)
+        ]
+        return tuple(
+            jnp.concatenate([c[j] for c in chunks], axis=0) for j in range(3)
+        )
 
     kernel = functools.partial(_match_kernel, H=H, W=W, wv=wv, wu=wu)
     return pl.pallas_call(

@@ -248,7 +248,7 @@ def project_scan_compact(
 def project_image_packed(
     points: jnp.ndarray, valid: jnp.ndarray, spec: ProjectionSpec,
     values: jnp.ndarray = None,
-    tile: int = 1024, smax: int = 2048,
+    tile: int = 1024, smax: int = 3072,
 ) -> jnp.ndarray:
     """Image-only projection: ONE packed-key fat sort + windowed one-hot
     matmul placement — the warped-source fast path of the image-space matcher
@@ -284,7 +284,9 @@ def project_image_packed(
     pixel-tile (pathological pitch compression), the overflowing tail's
     pixels come out empty — they are simply excluded from the loss, like any
     unmatched pixel. At KITTI scale a tile holds ~1.1k entries (at most one
-    source point per source pixel), so smax=2048 is ~2x headroom.
+    source point per source pixel), so smax=3072 is ~3x headroom. ONLY safe
+    for already-deduplicated inputs: a raw scan has unbounded candidates per
+    pixel — use :func:`project_compact_exact` there.
 
     Requires H*W < 2**16 (holds at train resolutions; the preprocessing
     resolution path keeps using :func:`project_scan`).
@@ -330,7 +332,6 @@ def project_image_packed(
 
     # (2) Windowed one-hot matmul placement.
     num_tiles = -(-num_pix // tile)
-    hw_pad = num_tiles * tile
     tile_starts = (jnp.arange(num_tiles, dtype=jnp.uint32) * tile) << 16
     pos = jnp.searchsorted(sorted_key, tile_starts, side="left")
     pos = jnp.minimum(pos, jnp.uint32(N - 1)).astype(jnp.int32)
@@ -384,52 +385,84 @@ def _windowed_placement(
     return image.reshape(H, W, C)
 
 
-def project_values_exact(
+class CompactImageProjection(NamedTuple):
+    """Result of :func:`project_compact_exact`.
+
+    image:     [H, W, C+1] — payload channels + appended range per winner.
+    comp_vals: [cap, C+1] — winners' (payload..., range), pixel-ascending,
+               front-compacted; rows past the winner count hold junk — mask.
+    comp_mask: [cap] bool — slot holds a real winner.
+    """
+
+    image: jnp.ndarray
+    comp_vals: jnp.ndarray
+    comp_mask: jnp.ndarray
+
+
+def project_compact_exact(
     points: jnp.ndarray, valid: jnp.ndarray, spec: ProjectionSpec,
     values: jnp.ndarray = None,
-    tile: int = 1024, smax: int = 2048,
-) -> jnp.ndarray:
-    """Image-only projection with EXACT ``project_scan`` winner semantics
-    and per-point payload channels: ONE two-key fat sort + windowed one-hot
-    placement.
+    tile: int = 1024,
+) -> CompactImageProjection:
+    """Projection + survivor compaction with EXACT ``project_scan`` winner
+    semantics, gather-free: two fat sorts + an overflow-FREE placement.
 
-    Same placement as :func:`project_image_packed`, but the sort keys are the
-    exact (pixel i32, range f32) pair — identical winner selection and
-    tie-breaking to :func:`project_scan` / the host/native projections (the
-    range rides as an image channel anyway, so keying on it adds no
-    bandwidth, only a second comparator). Use this when parity with the
-    3-sort path matters (static scan projections); the 16-bit packed key
-    remains the cheapest option where near-tie winner flips are acceptable
-    (the warped-source reprojection, whose keys move every step).
+      1. two-key (pixel i32, range f32) fat sort with the payload channels
+         riding — identical winner selection/tie-breaking to
+         :func:`project_scan` (stable; equal (pixel, range) → smallest id);
+         the range is the second key AND the appended channel, riding once,
+      2. a second stable fat sort on the loser flag compacts winners to the
+         front in pixel-ascending order — exactly
+         :func:`project_scan_compact`'s compaction order,
+      3. windowed one-hot matmul placement builds the image from the
+         COMPACTED winners: <= 1 winner per pixel means a ``tile``-pixel run
+         holds <= ``tile`` entries, so the ``smax = tile`` window can NEVER
+         overflow — unlike placing from the raw sorted array, whose per-tile
+         candidate count is unbounded (at KITTI density ~2.4 points/pixel a
+         2048 window silently drops true winners; found the hard way).
 
-    -> [H, W, C + 1]: ``values`` (or the coordinates) + appended range.
+    The fastest *unconditionally correct* dense projection here: one fat
+    sort + placement (:func:`project_image_packed`) is cheaper but only safe
+    when the input already has <= ~1 candidate per pixel (the warped
+    reprojection of an already-deduplicated scan); three plain sorts +
+    row-gathers (:func:`project_scan`) cost ~1.7x this on v5e.
     """
     N = points.shape[0]
     num_pix = spec.height * spec.width
+    cap = min(N, num_pix)
 
     r, _, _, in_fov, pix = _pixel_coords(points, valid, spec)
-    feat = jnp.concatenate(
-        [points if values is None else values, r[:, None]], axis=-1
-    )
-    C = feat.shape[-1]
-    smax = min(smax, N)
+    feat = points if values is None else values
+    C = feat.shape[-1] + 1
 
-    ops = (pix, r) + tuple(feat[:, c] for c in range(C))
+    # (1) Dedup sort: payload rides; range is key #2 and the last channel.
+    ops = (pix, r) + tuple(feat[:, c] for c in range(C - 1))
     sorted_ops = jax.lax.sort(ops, num_keys=2)
     pix_sorted = sorted_ops[0]
-    sorted_vals = jnp.stack(sorted_ops[2:], axis=-1)           # [N, C]
 
     first = jnp.concatenate(
         [jnp.ones((1,), bool), pix_sorted[1:] != pix_sorted[:-1]]
     ) & (pix_sorted < num_pix)
 
+    # (2) Compaction sort: winners to the front, stable -> pixel-ascending.
+    loser = jnp.logical_not(first).astype(jnp.int32)
+    ops2 = (loser, pix_sorted) + sorted_ops[2:] + (sorted_ops[1],)
+    comp_ops = jax.lax.sort(ops2, num_keys=1)
+    num_winners = jnp.sum(first.astype(jnp.int32))
+    comp_mask = jnp.arange(cap, dtype=jnp.int32) < num_winners
+    comp_pix = jnp.where(comp_mask, comp_ops[1][:cap], num_pix)
+    comp_vals = jnp.stack([o[:cap] for o in comp_ops[2:]], axis=-1)
+
+    # (3) Overflow-free placement over the compacted winners.
     num_tiles = -(-num_pix // tile)
     tile_starts = jnp.arange(num_tiles, dtype=jnp.int32) * tile
-    pos = jnp.searchsorted(pix_sorted, tile_starts, side="left")
-    pos = jnp.minimum(pos, N - 1).astype(jnp.int32)
-
-    return _windowed_placement(
-        pix_sorted, first, sorted_vals, pos, spec, tile, smax
+    pos = jnp.searchsorted(comp_pix, tile_starts, side="left")
+    pos = jnp.minimum(pos, cap - 1).astype(jnp.int32)
+    image = _windowed_placement(
+        comp_pix, comp_pix < num_pix, comp_vals, pos, spec, tile, smax=tile
+    )
+    return CompactImageProjection(
+        image=image, comp_vals=comp_vals, comp_mask=comp_mask
     )
 
 
@@ -439,14 +472,13 @@ def project_image(
     """Image-only projection ``[N, C>=3] -> [H, W, C+1]``.
 
     The inference/serving path needs only the range image — none of the
-    survivor/index artifacts — so it takes the single-fat-sort packed-key
-    route (3x fewer sorts than :func:`project_scan`) whenever the pixel key
-    fits 16 bits, falling back to :func:`project_scan` otherwise. Winner
-    tie-breaking between points whose ranges agree to ~0.4% within one pixel
-    may differ from :func:`project_scan` (see :func:`project_image_packed`).
+    survivor/index artifacts — so it takes the two-fat-sort
+    :func:`project_compact_exact` route (exact winners, no id-gathers, no
+    searchsorted sort) whenever the pixel id fits the placement's 16-bit
+    budget, falling back to :func:`project_scan` otherwise.
     """
     if spec.height * spec.width < (1 << 16):
-        return project_image_packed(points, valid, spec)
+        return project_compact_exact(points, valid, spec).image
     return project_scan(points, valid, spec).image
 
 

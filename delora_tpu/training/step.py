@@ -39,7 +39,7 @@ from delora_tpu.ops.projection import (
     gather_image_attribute,
     project_image,
     project_image_packed,
-    project_values_exact,
+    project_compact_exact,
     project_scan,
     project_scan_compact,
 )
@@ -165,19 +165,21 @@ def _loss_core(
     # shrinks from N (padded, e.g. 131k) to H*W (e.g. 46k) losslessly.
     HW = cfg.proj.height * cfg.proj.width
     if HW < (1 << 16):
-        # Single fat sort: normals ride the packed-key projection as payload,
-        # and the placed image IS the compaction — surviving points read out
-        # pixel-major ([H*W] slots, empty pixels masked) with no id sorts and
-        # no gathers. Channels: xyz(3), normal(3), range(1).
+        # Gather-free projection + compaction: normals ride two fat sorts
+        # (dedup, then winner compaction) as payload; the image is placed
+        # from the compacted winners (overflow-free). Exact project_scan
+        # winner semantics. Channels: xyz(3), normal(3), range(1).
         vals = jnp.concatenate([points_2, normals_2], axis=-1)
-        wimg = jax.vmap(
-            lambda p, v, m: project_values_exact(p, m, cfg.proj, values=v)
+        proj_2 = jax.vmap(
+            lambda p, v, m: project_compact_exact(p, m, cfg.proj, values=v)
         )(points_2, vals, valid_2)
-        image_2 = jnp.concatenate([wimg[..., 0:3], wimg[..., 6:7]], axis=-1)
-        B = wimg.shape[0]
-        pts_c = wimg[..., 0:3].reshape(B, HW, 3)
-        nrm_c = wimg[..., 3:6].reshape(B, HW, 3)
-        src_valid = wimg[..., 6].reshape(B, HW) > 0.0
+        image_2 = jnp.concatenate(
+            [proj_2.image[..., 0:3], proj_2.image[..., 6:7]], axis=-1
+        )
+        m = proj_2.comp_mask[..., None]
+        pts_c = proj_2.comp_vals[..., 0:3] * m
+        nrm_c = proj_2.comp_vals[..., 3:6] * m
+        src_valid = proj_2.comp_mask
     else:
         proj_2 = jax.vmap(lambda p, m: project_scan_compact(p, m, cfg.proj))(
             points_2, valid_2
@@ -329,7 +331,7 @@ def loss_and_metrics(
         # normal gather.
         vals = jnp.concatenate([batch.points_1, batch.normals_1], axis=-1)
         timg = jax.vmap(
-            lambda p, v, m: project_values_exact(p, m, cfg.proj, values=v)
+            lambda p, v, m: project_compact_exact(p, m, cfg.proj, values=v).image
         )(batch.points_1, vals, batch.valid_1)
         image_1 = jnp.concatenate([timg[..., 0:3], timg[..., 6:7]], axis=-1)
         target_normal_image = timg[..., 3:6]

@@ -116,3 +116,27 @@ def test_window_match_pallas_matches_xla_core():
         np.where(valid[..., None], nrm, 0.0), np.asarray(ref.target_normals),
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_window_match_pallas_batch_chunking():
+    """max_batch chunking (VMEM-overflow guard for large B) returns exactly
+    the single-call result."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from delora_tpu.ops.pallas.window_match import window_match_pallas
+
+    H, W, wv, wu = 8, 32, 3, 5
+    rng = np.random.default_rng(7)
+    B = 5
+    src = jnp.asarray(rng.normal(size=(B, 3, H, W)).astype(np.float32))
+    tgt = rng.normal(size=(B, 7, H + wv - 1, W)).astype(np.float32)
+    tgt[:, 6] = (rng.random((B, H + wv - 1, W)) > 0.3).astype(np.float32)
+    tgt = jnp.asarray(tgt)
+
+    whole = window_match_pallas(src, tgt, wv=wv, wu=wu, interpret=True)
+    chunked = window_match_pallas(
+        src, tgt, wv=wv, wu=wu, interpret=True, max_batch=2
+    )
+    for a, b in zip(whole, chunked):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

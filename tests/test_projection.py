@@ -230,11 +230,12 @@ def test_project_image_dispatch_both_branches():
     np.testing.assert_allclose(big, big_ref, atol=1e-6)
 
 
-def test_project_values_exact_matches_project_scan():
-    """The 2-key fat-sort projection must match project_scan bit-for-bit,
-    including equal-(pixel, range) ties (stable -> smallest point id wins)."""
+def test_project_compact_exact_matches_project_scan():
+    """The two-fat-sort projection+compaction must match project_scan /
+    project_scan_compact bit-for-bit, including equal-(pixel, range) ties
+    (stable -> smallest point id wins)."""
     from delora_tpu.ops.projection import (
-        gather_image_attribute, project_values_exact,
+        gather_image_attribute, project_compact_exact, project_scan_compact,
     )
 
     pts, valid = make_cloud(n=800, seed=13)
@@ -247,11 +248,41 @@ def test_project_values_exact_matches_project_scan():
 
     ref = project_scan(jnp.asarray(pts), jnp.asarray(valid), SPEC)
     ref_attr = gather_image_attribute(jnp.asarray(attr), ref.point_index)
-    out = project_values_exact(
+    out = project_compact_exact(
         jnp.asarray(pts), jnp.asarray(valid), SPEC,
         values=jnp.asarray(attr),
     )
     np.testing.assert_array_equal(
-        np.asarray(out[..., :3]), np.asarray(ref_attr))
+        np.asarray(out.image[..., :3]), np.asarray(ref_attr))
     np.testing.assert_array_equal(
-        np.asarray(out[..., 3]), np.asarray(ref.image[..., 3]))
+        np.asarray(out.image[..., 3]), np.asarray(ref.image[..., 3]))
+
+    # Compaction parity: same winners, same pixel-ascending prefix order.
+    comp = project_scan_compact(jnp.asarray(pts), jnp.asarray(valid), SPEC)
+    mask = np.asarray(comp.mask)
+    np.testing.assert_array_equal(np.asarray(out.comp_mask), mask)
+    k = int(mask.sum())
+    np.testing.assert_array_equal(
+        np.asarray(out.comp_vals)[:k, :3],
+        attr[np.asarray(comp.ids)[:k]],
+    )
+
+
+def test_project_compact_exact_dense_cloud():
+    """Many candidates per pixel (far beyond any placement window): the
+    compaction route must still keep every true winner — the failure mode of
+    placing straight from the dedup sort, where a tile's candidate count is
+    unbounded."""
+    from delora_tpu.ops.projection import project_compact_exact
+
+    rng = np.random.default_rng(21)
+    N = 20000                      # SPEC has 8*16 = 128 pixels -> ~150/pixel
+    pts = rng.normal(size=(N, 3)).astype(np.float32) * np.array(
+        [10.0, 10.0, 1.0], np.float32)
+    pts[:, 2] -= 1.0
+    valid = np.ones(N, bool)
+
+    ref = project_scan(jnp.asarray(pts), jnp.asarray(valid), SPEC)
+    out = project_compact_exact(jnp.asarray(pts), jnp.asarray(valid), SPEC)
+    np.testing.assert_array_equal(
+        np.asarray(out.image), np.asarray(ref.image))
