@@ -233,47 +233,103 @@ class Trainer:
         return self._steps[key]
 
     def log_images(self, epoch: int, dataset: str):
-        """Range/normal image panels for visual diagnostics.
-
-        Parity with the reference's per-epoch training-image artifacts
-        (deployer.py:73-100, plotting.py:12-58): target range image, source
-        range image, and the target normal components at a probe pair.
-        """
+        """Six-panel training diagnostic at a probe pair, reference parity
+        (deployer.py:73-100, plotting.py:12-58): target range, source range,
+        NETWORK-TRANSFORMED source range, per-pixel po2pl loss map on the
+        transformed source, and the target / transformed-source normal maps
+        (RGB (n+1)/2) — all driven by the CURRENT model parameters."""
         try:
             import jax.numpy as jnp
 
-            from delora_tpu.ops.projection import (
-                ProjectionSpec, gather_image_attribute, project_scan,
+            from delora_tpu import se3
+            from delora_tpu.ops.correspondence import (
+                image_space_correspondence_batch,
             )
-            from delora_tpu.utils.plotting import plot_range_image_grid
+            from delora_tpu.ops.projection import (
+                ProjectionSpec, project_compact_exact, project_image_packed,
+            )
+            from delora_tpu.training.step import forward_pose
+            from delora_tpu.utils.plotting import plot_training_panels
 
             if dataset not in self._viz_fns:
                 pspec = ProjectionSpec.from_config(self.config, dataset)
+                window = tuple(self.config["projective_window"])
 
                 @jax.jit
-                def viz(p1, v1, n1, p2, v2):
-                    pr1 = project_scan(p1, v1, pspec)
-                    pr2 = project_scan(p2, v2, pspec)
-                    nimg = gather_image_attribute(n1, pr1.point_index)
-                    return pr1.image[..., 3], pr2.image[..., 3], nimg
+                def viz(params, p1, v1, n1, p2, v2, n2):
+                    tproj = project_compact_exact(
+                        p1, v1, pspec, values=jnp.concatenate([p1, n1], -1)
+                    )
+                    sproj = project_compact_exact(
+                        p2, v2, pspec, values=jnp.concatenate([p2, n2], -1)
+                    )
+                    timg = tproj.image
+                    image_1 = jnp.concatenate(
+                        [timg[..., 0:3], timg[..., 6:7]], axis=-1
+                    )
+                    nimg_t = timg[..., 3:6]
+                    simg = sproj.image
+                    image_2 = jnp.concatenate(
+                        [simg[..., 0:3], simg[..., 6:7]], axis=-1
+                    )
+                    T = forward_pose(
+                        self.model.apply, params, image_1[None], image_2[None]
+                    )[0]
+                    m = sproj.comp_mask[:, None]
+                    w_pts = se3.transform_points(T, sproj.comp_vals[:, 0:3] * m)
+                    w_nrm = se3.rotate_points(T, sproj.comp_vals[:, 3:6] * m)
+                    wimg = project_image_packed(
+                        w_pts, sproj.comp_mask, pspec,
+                        values=jnp.concatenate([w_pts, w_nrm], -1),
+                    )
+                    HW = pspec.height * pspec.width
+                    w_xyz = wimg[..., 0:3].reshape(HW, 3)
+                    occ = wimg[..., 6].reshape(HW) > 0.0
+                    corr = image_space_correspondence_batch(
+                        w_xyz[None], occ[None], image_1[None], nimg_t[None],
+                        pspec, window,
+                    )
+                    # po2pl residual on matched pairs where the target has a
+                    # normal (icp_losses.py:196-203 semantics, per pixel).
+                    nt = corr.target_normals[0]
+                    has_nt = jnp.any(nt != 0.0, axis=-1)
+                    resid = jnp.sum(
+                        (w_xyz - corr.target_points[0]) * nt, axis=-1
+                    )
+                    po2pl = jnp.where(
+                        corr.valid[0] & has_nt, resid ** 2, 0.0
+                    ).reshape(pspec.height, pspec.width)
+                    return (
+                        image_1[..., 3], image_2[..., 3], wimg[..., 6],
+                        po2pl, nimg_t, wimg[..., 3:6],
+                    )
 
                 self._viz_fns[dataset] = viz
 
             pair = self.pair_datasets[dataset].get_pair(0)
-            r1, r2, nimg = self._viz_fns[dataset](
+            r1, r2, rw, po2pl, nimg_t, nimg_w = self._viz_fns[dataset](
+                self.state.params,
                 jnp.asarray(pair["points_1"]), jnp.asarray(pair["valid_1"]),
-                jnp.asarray(pair["normals_1"]), jnp.asarray(pair["points_2"]),
-                jnp.asarray(pair["valid_2"]),
+                jnp.asarray(pair["normals_1"]),
+                jnp.asarray(pair["points_2"]), jnp.asarray(pair["valid_2"]),
+                jnp.asarray(pair["normals_2"]),
             )
-            nimg = np.asarray(nimg)
             path = self.logger.artifact_path(
                 f"images_{dataset}_{epoch:05d}.png"
             )
-            plot_range_image_grid(
-                [np.asarray(r1), np.asarray(r2),
-                 nimg[..., 0], nimg[..., 1], nimg[..., 2]],
-                ["range t", "range t+1", "normal x", "normal y", "normal z"],
-                path,
+            plot_training_panels(
+                [
+                    ("Target image at time t", "range", np.asarray(r1)),
+                    ("Source at time t+1", "range", np.asarray(r2)),
+                    ("Network transformed source at time t+1", "range",
+                     np.asarray(rw)),
+                    ("Po2Pl loss (on transformed source points)", "loss",
+                     np.asarray(po2pl)),
+                    ("Normal map of target", "normals", np.asarray(nimg_t)),
+                    ("Normal map of transformed source", "normals",
+                     np.asarray(nimg_w)),
+                ],
+                path, iteration=epoch,
             )
         except Exception as e:  # diagnostics must never kill training
             print(f"[trainer] image logging skipped: {e}")

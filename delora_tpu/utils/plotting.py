@@ -145,3 +145,36 @@ def plot_range_image_grid(images, labels, path: str):
     fig.tight_layout()
     fig.savefig(path, dpi=120)
     plt.close(fig)
+
+
+def plot_training_panels(panels, path: str, iteration: int = 0):
+    """Reference 6-panel training diagnostic (plotting.py:12-58 parity):
+    range images in turbo, normal maps as RGB (n+1)/2, loss map in turbo;
+    zero-range pixels blacked out.
+
+    panels: list of (label, kind, array) with kind in {"range", "normals",
+    "loss"}; "range"/"loss" arrays are [H, W], "normals" are [H, W, 3].
+    """
+    n = len(panels)
+    fig, axes = plt.subplots(n, 1, figsize=(14, 1.8 * n))
+    if n == 1:
+        axes = [axes]
+    fig.suptitle(f"Results at iteration {iteration}", fontsize=9)
+    for ax, (label, kind, img) in zip(axes, panels):
+        img = np.asarray(img)
+        if kind == "normals":
+            mag = np.linalg.norm(img, axis=-1)
+            rgb = np.clip((img + 1.0) / 2.0, 0.0, 1.0)
+            rgb[mag == 0] = 0.0
+            ax.imshow(rgb, aspect="auto")
+        else:
+            shown = ax.imshow(img, aspect="auto", cmap="turbo")
+            fig.colorbar(shown, ax=ax, fraction=0.02, pad=0.01)
+        ax.set_xticks([])
+        ax.set_yticks([])
+        ax.text(
+            1.0, 0.02, label, transform=ax.transAxes, color="w",
+            ha="right", va="bottom", fontsize=7, alpha=0.7,
+        )
+    fig.savefig(path, dpi=120)
+    plt.close(fig)

@@ -98,6 +98,12 @@ def test_training_runs_and_checkpoints(pipeline_dir):
     metrics_file = str(pipeline_dir / "runs" / config["experiment"] /
                        "e2e" / "metrics.jsonl")
     assert os.path.getsize(metrics_file) > 0
+    # The six-panel training diagnostic (reference plotting.py:12-58 parity)
+    # must actually render — log_images swallows exceptions, so assert the
+    # artifact exists (epoch 0 matches the visualize_every_epochs cadence).
+    img = str(pipeline_dir / "runs" / config["experiment"] / "e2e" /
+              "artifacts" / "images_kitti_00000.png")
+    assert os.path.exists(img) and os.path.getsize(img) > 0
 
 
 def test_resume_from_checkpoint(pipeline_dir):
