@@ -77,26 +77,39 @@ def window_match_pallas(
 
     ``best_sq`` is +inf where no occupied target pixel exists in the window.
 
-    Batches larger than ``max_batch`` are split into separate pallas_calls
-    and re-concatenated: with one big call, XLA's scoped-VMEM accounting of
-    the whole output tuple overflows the 16 MB stack limit at KITTI scale
-    (observed at B=32 even with 16-row chunks: "Ran out of memory in memory space vmem ... scoped
-    allocation 18.81M"); per-chunk calls keep each allocation bounded while
-    the kernel itself is unchanged (its per-grid-step footprint was never
-    the problem).
+    Batches larger than ``max_batch`` run as SEQUENTIAL ``lax.map`` chunks:
+    one big pallas_call blows XLA's 16 MB scoped-VMEM stack at KITTI scale
+    (B=32: "scoped allocation 18.81M"), and a Python list of chunked calls
+    fails the same way because XLA overlaps the calls' scoped allocations
+    (B=32 with 8-row chunks: 19.93M). A scan serializes them — exactly one
+    call's VMEM footprint live at a time. The kernel itself is unchanged
+    (its per-grid-step footprint was never the problem).
     """
     B, _, H, W = src_planes.shape
-    assert tgt_planes.shape == (B, 7, H + wv - 1, W), tgt_planes.shape
+    Hp = H + wv - 1
+    assert tgt_planes.shape == (B, 7, Hp, W), tgt_planes.shape
     if B > max_batch:
-        chunks = [
-            window_match_pallas(
-                src_planes[i:i + max_batch], tgt_planes[i:i + max_batch],
-                wv=wv, wu=wu, interpret=interpret, max_batch=max_batch,
-            )
-            for i in range(0, B, max_batch)
-        ]
+        # Chunks smaller than the direct-call limit: inside the scan body
+        # XLA stages each call's WHOLE operands in VMEM (B=8 chunk: 15.3 MB
+        # of src+tgt -> 17.36M scoped, over the limit), so the chunk rows
+        # must leave headroom for the block double-buffers too.
+        chunk = max(1, max_batch // 2)
+        pad = (-B) % chunk
+        srcp = jnp.pad(src_planes, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        tgtp = jnp.pad(tgt_planes, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        nb = (B + pad) // chunk
+        outs = jax.lax.map(
+            lambda args: window_match_pallas(
+                args[0], args[1], wv=wv, wu=wu,
+                interpret=interpret, max_batch=chunk,
+            ),
+            (
+                srcp.reshape(nb, chunk, 3, H, W),
+                tgtp.reshape(nb, chunk, 7, Hp, W),
+            ),
+        )
         return tuple(
-            jnp.concatenate([c[j] for c in chunks], axis=0) for j in range(3)
+            o.reshape((nb * chunk,) + o.shape[2:])[:B] for o in outs
         )
 
     kernel = functools.partial(_match_kernel, H=H, W=W, wv=wv, wu=wu)
