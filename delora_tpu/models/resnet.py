@@ -61,12 +61,15 @@ class ConvCirc(nn.Module):
     @nn.compact
     def __call__(self, x):
         kh, kw = self.kernel
-        x = pad_circular_w(x, pad_w=kw // 2, pad_h=kh // 2)
+        # Only the azimuth wrap needs an explicit concat; the zero height
+        # padding rides the convolution's own padding parameter so XLA
+        # materializes ONE padded operand per conv instead of two.
+        x = pad_circular_w(x, pad_w=kw // 2, pad_h=0)
         return nn.Conv(
             self.features,
             kernel_size=self.kernel,
             strides=self.strides,
-            padding="VALID",
+            padding=((kh // 2, kh // 2), (0, 0)),
             use_bias=False,
             dtype=self.compute_dtype,
             param_dtype=jnp.float32,
