@@ -39,7 +39,9 @@ from delora_tpu.ops.projection import (
     gather_image_attribute,
     project_image,
     project_image_packed,
+    project_image_packed_batch,
     project_compact_exact,
+    project_compact_exact_batch,
     project_scan,
     project_scan_compact,
 )
@@ -75,6 +77,7 @@ class StepConfig(NamedTuple):
     normalization_scaling: bool = False
     use_pallas_nn: bool = False
     matcher_backend: str = "auto"             # "auto" | "xla" | "pallas"
+    placement_backend: str = "auto"           # "auto" | "xla" | "pallas"
 
     @classmethod
     def from_config(cls, config, dataset: str, *, supervised: bool):
@@ -92,6 +95,7 @@ class StepConfig(NamedTuple):
             normalization_scaling=bool(config["normalization_scaling"]),
             use_pallas_nn=bool(config.get("use_pallas_nn", False)),
             matcher_backend=str(config.get("matcher_backend", "auto")),
+            placement_backend=str(config.get("placement_backend", "auto")),
         )
 
 
@@ -170,9 +174,10 @@ def _loss_core(
         # from the compacted winners (overflow-free). Exact project_scan
         # winner semantics. Channels: xyz(3), normal(3), range(1).
         vals = jnp.concatenate([points_2, normals_2], axis=-1)
-        proj_2 = jax.vmap(
-            lambda p, v, m: project_compact_exact(p, m, cfg.proj, values=v)
-        )(points_2, vals, valid_2)
+        proj_2 = project_compact_exact_batch(
+            points_2, valid_2, cfg.proj, values=vals,
+            backend=cfg.placement_backend,
+        )
         image_2 = jnp.concatenate(
             [proj_2.image[..., 0:3], proj_2.image[..., 6:7]], axis=-1
         )
@@ -241,9 +246,10 @@ def _loss_tail(
         # Image-only packed-key projection (one sort) at train resolutions;
         # project_scan if H*W exceeds the 16-bit pixel-key budget.
         if cfg.proj.height * cfg.proj.width < (1 << 16):
-            wimage = jax.vmap(
-                lambda p, v, m: project_image_packed(p, m, cfg.proj, values=v)
-            )(pos_sel, vals, src_valid)
+            wimage = project_image_packed_batch(
+                pos_sel, src_valid, cfg.proj, values=vals,
+                backend=cfg.placement_backend,
+            )
         else:
             wimage = jax.vmap(
                 lambda pv, m: project_scan(pv, m, cfg.proj).image[..., 3:]
@@ -330,9 +336,10 @@ def loss_and_metrics(
         # as payload) — replaces project_scan (3 sorts) + the per-pixel
         # normal gather.
         vals = jnp.concatenate([batch.points_1, batch.normals_1], axis=-1)
-        timg = jax.vmap(
-            lambda p, v, m: project_compact_exact(p, m, cfg.proj, values=v).image
-        )(batch.points_1, vals, batch.valid_1)
+        timg = project_compact_exact_batch(
+            batch.points_1, batch.valid_1, cfg.proj, values=vals,
+            backend=cfg.placement_backend,
+        ).image
         image_1 = jnp.concatenate([timg[..., 0:3], timg[..., 6:7]], axis=-1)
         target_normal_image = timg[..., 3:6]
         brute_target = None

@@ -286,3 +286,60 @@ def test_project_compact_exact_dense_cloud():
     out = project_compact_exact(jnp.asarray(pts), jnp.asarray(valid), SPEC)
     np.testing.assert_array_equal(
         np.asarray(out.image), np.asarray(ref.image))
+
+
+def test_pallas_placement_matches_xla_packed():
+    """project_image_packed_batch: the Pallas chunked placement kernel
+    (interpret mode on CPU) is bit-identical to the XLA lax.map placement."""
+    from delora_tpu.ops.projection import project_image_packed_batch
+
+    rng = np.random.default_rng(11)
+    B, N = 3, 2048
+    pts = rng.normal(size=(B, N, 3)).astype(np.float32) * np.array(
+        [8.0, 8.0, 0.5], np.float32
+    )
+    pts[..., 2] -= 1.5
+    valid = rng.random((B, N)) > 0.15
+    vals = rng.normal(size=(B, N, 6)).astype(np.float32) * 100.0
+
+    ref = project_image_packed_batch(
+        jnp.asarray(pts), jnp.asarray(valid), SPEC,
+        values=jnp.asarray(vals), smax=N, backend="xla",
+    )
+    out = project_image_packed_batch(
+        jnp.asarray(pts), jnp.asarray(valid), SPEC,
+        values=jnp.asarray(vals), smax=N, backend="pallas",
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_pallas_placement_matches_xla_compact_exact():
+    """project_compact_exact_batch: Pallas placement == XLA placement, and
+    the compacted winners/masks agree, at raw-scan density (duplicates per
+    pixel) where only the overflow-free path is exact."""
+    from delora_tpu.ops.projection import project_compact_exact_batch
+
+    rng = np.random.default_rng(13)
+    B, N = 2, 4096                       # ~32 candidates per pixel
+    pts = rng.normal(size=(B, N, 3)).astype(np.float32) * np.array(
+        [8.0, 8.0, 0.5], np.float32
+    )
+    pts[..., 2] -= 1.5
+    valid = rng.random((B, N)) > 0.1
+    vals = rng.normal(size=(B, N, 3)).astype(np.float32) * 50.0
+
+    ref = project_compact_exact_batch(
+        jnp.asarray(pts), jnp.asarray(valid), SPEC,
+        values=jnp.asarray(vals), backend="xla",
+    )
+    out = project_compact_exact_batch(
+        jnp.asarray(pts), jnp.asarray(valid), SPEC,
+        values=jnp.asarray(vals), backend="pallas",
+    )
+    np.testing.assert_array_equal(np.asarray(ref.image), np.asarray(out.image))
+    np.testing.assert_array_equal(
+        np.asarray(ref.comp_vals), np.asarray(out.comp_vals)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.comp_mask), np.asarray(out.comp_mask)
+    )
