@@ -38,9 +38,7 @@ from delora_tpu.ops.projection import (
     compute_uv,
     gather_image_attribute,
     project_image,
-    project_image_packed,
     project_image_packed_batch,
-    project_compact_exact,
     project_compact_exact_batch,
     project_scan,
     project_scan_compact,

@@ -63,8 +63,9 @@ def run(backend: str):
 
     trainer = Trainer(config, run_name="ab_" + backend)
     trainer.train(max_epochs=EPOCHS)
-    path = os.path.join(WORKDIR, "runs_" + backend, "ab_" + backend,
-                        "metrics.jsonl")
+    import glob as g
+    path = g.glob(os.path.join(WORKDIR, "runs_" + backend,
+                               "*", "ab_" + backend, "metrics.jsonl"))[0]
     rows = [json.loads(l) for l in open(path)]
     return [(r.get("loss"), r.get("loss_pc")) for r in rows
             if r.get("loss") is not None]
