@@ -405,7 +405,15 @@ def _split_bf16_3(vals: jnp.ndarray) -> jnp.ndarray:
 
 def _resolve_placement_backend(backend: str):
     """-> (use_pallas, interpret). "auto" = pallas on TPU, xla elsewhere;
-    forcing "pallas" off-TPU runs the interpreter (tests)."""
+    forcing "pallas" off-TPU runs the interpreter (tests).
+
+    CAVEAT: "auto" keys off the PROCESS DEFAULT backend
+    (``jax.devices()[0].platform``), not the mesh the computation actually
+    runs on. In a process with a registered TPU client but computation placed
+    on a CPU mesh, "auto" picks pallas and compilation fails — pin
+    ``backend="xla"`` explicitly on non-default meshes (the multichip dryrun
+    does; see __graft_entry__.py).
+    """
     if backend == "auto":
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         return on_tpu, False
@@ -417,7 +425,9 @@ def _resolve_placement_backend(backend: str):
 _PLACE_CHUNK = 512
 
 
-def _placement_windows(sorted_pix_keys, tile: int, num_tiles: int, is_u16_key: bool):
+def _placement_windows(
+    sorted_pix_keys, tile: int, num_tiles: int, is_u16_key: bool, num_pix: int
+):
     """Per-tile chunk-aligned window start + count for the Pallas placement.
 
     sorted_pix_keys: ascending per-entry sort keys — either the packed u32
@@ -426,9 +436,20 @@ def _placement_windows(sorted_pix_keys, tile: int, num_tiles: int, is_u16_key: b
     through the end of tile t's run).
     """
     if is_u16_key:
-        starts = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) * tile) << 16
+        # Clamp boundary pixel ids to num_pix BEFORE shifting: the last
+        # boundary num_tiles*tile can hit 65536, whose u32 shift wraps to 0
+        # and would zero the final tile's count. num_pix << 16 always fits
+        # (num_pix < 2**16 is a precondition of the packed path), and every
+        # real pixel id is < num_pix, so the searchsorted result is the same
+        # for any boundary >= num_pix.
+        bounds = jnp.minimum(
+            jnp.arange(num_tiles + 1, dtype=jnp.uint32) * tile, num_pix
+        )
+        starts = bounds << 16
     else:
-        starts = jnp.arange(num_tiles + 1, dtype=jnp.int32) * tile
+        starts = jnp.minimum(
+            jnp.arange(num_tiles + 1, dtype=jnp.int32) * tile, num_pix
+        )
     pos = jnp.searchsorted(sorted_pix_keys, starts, side="left").astype(jnp.int32)
     posb = pos[:num_tiles] // _PLACE_CHUNK
     cnt = pos[1:] - posb * _PLACE_CHUNK
@@ -508,7 +529,7 @@ def project_image_packed_batch(
             [jnp.ones((1,), bool), pix_sorted[1:] != pix_sorted[:-1]]
         ) & (pix_sorted < num_pix)
         pix_enc = jnp.where(first, pix_sorted, 1 << 30)
-        posb, cnt = _placement_windows(sorted_key, tile, num_tiles, True)
+        posb, cnt = _placement_windows(sorted_key, tile, num_tiles, True, num_pix)
         return pix_enc, sorted_vals, posb, cnt
 
     pix_enc, sorted_vals, posb, cnt = jax.vmap(prep)(
@@ -642,7 +663,7 @@ def project_compact_exact_batch(
         comp_mask = jnp.arange(cap, dtype=jnp.int32) < num_winners
         comp_pix = jnp.where(comp_mask, comp_ops[1][:cap], num_pix)
         comp_vals = jnp.stack([o[:cap] for o in comp_ops[2:]], axis=-1)
-        posb, cnt = _placement_windows(comp_pix, tile, num_tiles, False)
+        posb, cnt = _placement_windows(comp_pix, tile, num_tiles, False, num_pix)
         return comp_pix, comp_vals, comp_mask, posb, cnt
 
     comp_pix, comp_vals, comp_mask, posb, cnt = jax.vmap(prep)(
