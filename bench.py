@@ -21,8 +21,12 @@ a deadline, so a slow diagnostic compile can never eat the JSON line.
 vs_baseline: the reference (leggedrobotics/delora) publishes no training
 throughput (BASELINE.md); its hot loop is batch-size-1 with >=4 host<->device
 round trips per sample (reference src/deploy/deployer.py:237-375,
-SURVEY.md §3.1). 10 scan-pairs/s is a generous single-GPU estimate for it
-(~100 ms/step incl. KD-tree builds); vs_baseline = value / 10.
+SURVEY.md §3.1). MEASURED on this box (scripts/reference_baseline.py, the
+actual reference step executed from /root/reference on synthetic KITTI-scale
+scans, numba-fairness-adjusted): 1.2 pairs/s on CPU
+(docs/reference_baseline.json). The denominator stays at the GENEROUS
+10 pairs/s single-GPU figure — crediting the reference GPU with ~8x its
+measured CPU throughput — so vs_baseline = value / 10 remains conservative.
 
 Timing notes: dispatch is async (block_until_ready through the axon relay
 does not block), so the clock is bracketed by *readbacks*: sync, run K steps,

@@ -47,6 +47,20 @@ def shard_batch(batch: ScanPairBatch, mesh) -> ScanPairBatch:
 
 
 def replicate_state(state, mesh):
+    """Broadcast a (host-local) train state onto the mesh, replicated.
+
+    Multi-process: device_put from a device-committed local array to a
+    sharding spanning other hosts would be a cross-host device transfer
+    (unsupported on CPU, needs DCN flags on TPU) — go through host numpy
+    instead, which device_put broadcasts from each process's own copy (every
+    process holds identical values by construction: deterministic init or a
+    shared checkpoint)."""
+    if jax.process_count() > 1:
+        import numpy as np
+
+        state = jax.tree.map(
+            lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, state
+        )
     return jax.device_put(state, replicated_sharding(mesh))
 
 

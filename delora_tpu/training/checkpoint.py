@@ -44,29 +44,49 @@ class CheckpointManager:
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
 
+    @staticmethod
+    def _barrier(name: str):
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(name)
+
     def save(self, state, epoch: int, loss: float, config: Dict[str, Any]):
-        """Save 'latest' (overwrite) + durable copy on keep_every epochs."""
+        """Save 'latest' (overwrite) + durable copy on keep_every epochs.
+
+        Multi-process contract (canonical Orbax multihost flow): EVERY
+        process calls save with the global (replicated) arrays — the
+        checkpointer runs its own cross-process syncs internally and writes
+        each replicated array once — while direct filesystem mutations
+        (rmtree, meta JSON, durable copy) happen on process 0 only, fenced
+        by barriers so no process races into a half-written directory.
+        """
+        is_primary = jax.process_index() == 0
         payload = {"params": state.params, "opt_state": state.opt_state,
-                   "step": np.asarray(state.step)}
+                   "step": state.step}
         latest = self._path("latest")
-        if os.path.exists(latest):
+        if is_primary and os.path.exists(latest):
             shutil.rmtree(latest)
+        self._barrier(f"ckpt_pre_save_{epoch}")
         self._ckptr.save(latest, payload)
         self._ckptr.wait_until_finished()
-        meta = {
-            "epoch": epoch,
-            "loss": float(loss),
-            "parameters": json.loads(_config_to_json(config)),
-        }
-        with open(self._path("latest_meta.json"), "w") as f:
-            json.dump(meta, f)
-        if self.keep_every and epoch % self.keep_every == 0:
-            durable = self._path(f"epoch_{epoch:05d}")
-            if os.path.exists(durable):
-                shutil.rmtree(durable)
-            shutil.copytree(latest, durable)
-            shutil.copyfile(self._path("latest_meta.json"),
-                            self._path(f"epoch_{epoch:05d}_meta.json"))
+        self._barrier(f"ckpt_post_save_{epoch}")
+        if is_primary:
+            meta = {
+                "epoch": epoch,
+                "loss": float(loss),
+                "parameters": json.loads(_config_to_json(config)),
+            }
+            with open(self._path("latest_meta.json"), "w") as f:
+                json.dump(meta, f)
+            if self.keep_every and epoch % self.keep_every == 0:
+                durable = self._path(f"epoch_{epoch:05d}")
+                if os.path.exists(durable):
+                    shutil.rmtree(durable)
+                shutil.copytree(latest, durable)
+                shutil.copyfile(self._path("latest_meta.json"),
+                                self._path(f"epoch_{epoch:05d}_meta.json"))
+        self._barrier(f"ckpt_done_{epoch}")
 
     def restore(self, state, name: str = "latest") -> Tuple[Any, Dict[str, Any]]:
         """Restore into an abstract/concrete state of matching structure.

@@ -150,9 +150,14 @@ class Trainer:
             config.get("checkpoint_dir", "./checkpoints_tpu"),
             keep_every=int(config.get("checkpoint_keep_every", 5)),
         )
+        # Multi-process runs: one metrics stream per process (process 0 holds
+        # the canonical one) so JSONL writes never interleave across hosts.
+        logger_run = self.run_name
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            logger_run = f"{self.run_name}-proc{jax.process_index()}"
         self.logger = MetricsLogger(
             config.get("log_dir", "./runs"), config.get("experiment", "default"),
-            self.run_name, use_mlflow=bool(config.get("use_mlflow", False)),
+            logger_run, use_mlflow=bool(config.get("use_mlflow", False)),
         )
         self.logger.log_params(self.config)
         self.start_epoch = 0
@@ -171,6 +176,16 @@ class Trainer:
             self.supervised = False  # pretrained -> straight to unsupervised
             print(f"[trainer] resumed from {checkpoint} "
                   f"(epoch {self.start_epoch})")
+
+        # Mesh runs: the sharded steps declare replicated in_shardings for
+        # the state; on a multi-process mesh the state must be an explicit
+        # GLOBAL replicated array (host-local arrays are rejected by pjit).
+        # Replication happens AFTER restore: Orbax restores into addressable
+        # host arrays, then one device_put broadcasts them onto the mesh.
+        if self.mesh is not None:
+            from delora_tpu.parallel.pjit_step import replicate_state
+
+            self.state = replicate_state(self.state, self.mesh)
 
         self._steps: Dict[tuple, callable] = {}
         self._viz_fns: Dict[str, callable] = {}
@@ -465,15 +480,22 @@ class Trainer:
                 f"pairs/s={metrics['scan_pairs_per_sec']:.1f} "
                 f"supervised={self.supervised}"
             )
-            if jax.process_index() == 0:
-                ckpt_every = int(self.config.get("checkpoint_every_epochs", 1))
-                if epoch % max(ckpt_every, 1) == 0 or epoch == epochs - 1:
-                    self.ckpt.save(self.state, epoch, metrics["loss"], self.config)
-                viz_every = int(self.config.get("visualize_every_epochs", 5))
-                if self.config.get("visualize_images", True) and (
-                    epoch % viz_every == 0
-                ):
-                    self.log_images(epoch, self.datasets[0])
+            ckpt_every = int(self.config.get("checkpoint_every_epochs", 1))
+            if epoch % max(ckpt_every, 1) == 0 or epoch == epochs - 1:
+                # ALL processes participate (Orbax multihost contract);
+                # CheckpointManager gates the filesystem mutations to
+                # process 0 and fences them with barriers internally.
+                self.ckpt.save(self.state, epoch, metrics["loss"], self.config)
+            viz_every = int(self.config.get("visualize_every_epochs", 5))
+            if (
+                jax.process_count() == 1
+                # The viz fns are jitted over the global mesh; running them
+                # on process 0 only would deadlock the collective. Multi-
+                # process image logging is intentionally off.
+                and self.config.get("visualize_images", True)
+                and epoch % viz_every == 0
+            ):
+                self.log_images(epoch, self.datasets[0])
 
             # Warmup auto-switch (trainer.py:184-186).
             if self.supervised and metrics["loss"] < 1e-2:
