@@ -255,12 +255,24 @@ def image_space_correspondence_batch(
 
     backend: "xla" (vmapped fori_loop core), "pallas" (fused VMEM-resident
     kernel, delora_tpu/ops/pallas/window_match.py), or "auto" (pallas on TPU
-    backends, xla elsewhere). Both produce identical winners (same dv-major
-    iteration order and strict-< tie-breaking).
+    backends when the shape fits the kernel's VMEM budget — the 2250-wide
+    preprocessing resolution does not and silently takes the XLA path — xla
+    elsewhere). Both produce identical winners (same dv-major iteration
+    order and strict-< tie-breaking).
+
+    NOTE: "auto" keys off the PROCESS DEFAULT backend (``jax.devices()[0]``),
+    not the mesh the computation is placed on — in a process with a
+    registered TPU client but computation pinned to a CPU mesh, pin
+    ``backend="xla"`` explicitly (the multichip dryrun does).
     """
     if backend == "auto":
+        from delora_tpu.ops.pallas.window_match import fits_vmem
+
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         backend = (
-            "pallas" if jax.devices()[0].platform in ("tpu", "axon") else "xla"
+            "pallas"
+            if on_tpu and fits_vmem(spec.height, spec.width, window[0])
+            else "xla"
         )
     if backend == "xla":
         return jax.vmap(

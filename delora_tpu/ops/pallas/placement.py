@@ -56,6 +56,10 @@ def _placement_kernel(posb_ref, cnt_ref, pix_ref, vals_ref, out_ref, *,
             jnp.int32, (tile, chunk), 0
         )
         eq = (pix[None, :] == q).astype(jnp.bfloat16)          # [tile, chunk]
+        # NOTE: splitting the f32 values into hi/mid/lo bf16 IN-KERNEL was
+        # tried (r16) and regressed the kernel 0.57 -> 1.49 ms: the
+        # [chunk, cp] converts run at 8/128 lane utilization and the lane
+        # concat forces relayouts. The XLA-side split stays.
         acc = jnp.dot(
             eq, vals_ref[0], preferred_element_type=jnp.float32
         )                                                      # [tile, 3*cp]
@@ -83,6 +87,24 @@ def placement_pallas(
     vc = vals.shape[-1]
     assert vc % 3 == 0, vc
     cp = vc // 3
+    if interpret:
+        # Overflow observability (tests/CPU only — free on TPU): a tile whose
+        # window run exceeds nchunks*chunk drops its tail, which differs from
+        # the XLA path's [pos, pos+smax) drop (strictly FEWER drops — the
+        # chunk-aligned windows are a superset — but not bit-identical in
+        # pathological pitch-compression cases). Surface it instead of
+        # diverging silently.
+        def _warn_overflow(n_over):
+            if int(n_over):
+                print(
+                    f"[placement_pallas] {int(n_over)} tile window(s) exceed "
+                    f"{nchunks * chunk} entries: tail entries dropped "
+                    "(backend divergence vs xla possible on this input)"
+                )
+
+        jax.debug.callback(
+            _warn_overflow, jnp.sum(cnt > nchunks * chunk)
+        )
     kernel = functools.partial(
         _placement_kernel, tile=tile, chunk=chunk, cp=cp
     )

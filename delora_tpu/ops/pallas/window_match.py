@@ -61,6 +61,45 @@ def _match_kernel(src_ref, tgt_ref, sq_ref, xyz_ref, nrm_ref, *,
     nrm_ref[0] = best_nrm
 
 
+# XLA's scoped-VMEM stack budget the chunking must respect (the compile
+# errors below report overruns against ~16 MB).
+_VMEM_BUDGET = 16 * 1024 * 1024
+
+
+def _row_bytes(H: int, W: int, wv: int) -> tuple:
+    """Per-batch-row VMEM bytes: (operands, outputs) of one grid step."""
+    Hp = H + wv - 1
+    ops = (3 * H * W + 7 * Hp * W) * 4            # src + padded tgt planes
+    outs = 7 * H * W * 4                          # best sq + xyz + normal
+    return ops, outs
+
+
+def fits_vmem(H: int, W: int, wv: int) -> bool:
+    """Whether ONE batch row's double-buffered blocks fit the scoped budget.
+
+    Measured on a v5e: (64, 720, 5) fits (6.4 MB); the 2250-wide
+    preprocessing shape does not (20 MB — the kernel fails to compile even
+    at B=1). Callers should take the XLA matcher when this is False;
+    ``image_space_correspondence_batch(backend="auto")`` does so.
+    """
+    ops, outs = _row_bytes(H, W, wv)
+    return 2 * (ops + outs) <= _VMEM_BUDGET
+
+
+def max_batch_for_shape(H: int, W: int, wv: int) -> int:
+    """Largest safe direct-call batch, scaled from a measured anchor.
+
+    Anchor at (H, W, wv) = (64, 720, 5), ~3.2 MB/row: the direct call
+    compiles at B=8 and OOMs scoped VMEM at B=32 ("scoped allocation
+    18.81M"); inside a ``lax.map`` body an 8-row chunk OOMs (17.36M) and
+    4 rows fit. Rather than model XLA's staging precisely, scale the proven
+    8-row anchor inversely with the per-row footprint and never exceed it.
+    """
+    anchor = sum(_row_bytes(64, 720, 5)) * 8
+    rows = anchor // max(1, sum(_row_bytes(H, W, wv)))
+    return max(1, min(8, int(rows)))
+
+
 @functools.partial(
     jax.jit, static_argnames=("wv", "wu", "interpret", "max_batch")
 )
@@ -71,13 +110,14 @@ def window_match_pallas(
     wv: int,
     wu: int,
     interpret: bool = False,
-    max_batch: int = 8,
+    max_batch: int = None,
 ):
     """-> (best_sq [B, H, W], best_xyz [B, 3, H, W], best_nrm [B, 3, H, W]).
 
     ``best_sq`` is +inf where no occupied target pixel exists in the window.
 
-    Batches larger than ``max_batch`` run as SEQUENTIAL ``lax.map`` chunks:
+    Batches larger than ``max_batch`` (shape-derived by default, see
+    :func:`max_batch_for_shape`) run as SEQUENTIAL ``lax.map`` chunks:
     one big pallas_call blows XLA's 16 MB scoped-VMEM stack at KITTI scale
     (B=32: "scoped allocation 18.81M"), and a Python list of chunked calls
     fails the same way because XLA overlaps the calls' scoped allocations
@@ -88,6 +128,15 @@ def window_match_pallas(
     B, _, H, W = src_planes.shape
     Hp = H + wv - 1
     assert tgt_planes.shape == (B, 7, Hp, W), tgt_planes.shape
+    if not interpret and not fits_vmem(H, W, wv):
+        raise ValueError(
+            f"window_match_pallas: one ({H}, {W}) row at wv={wv} needs "
+            f"{2 * sum(_row_bytes(H, W, wv)) / 2**20:.1f} MB of VMEM blocks "
+            f"(budget {_VMEM_BUDGET / 2**20:.0f} MB) — use the XLA matcher "
+            "for this shape (backend='xla', or 'auto' which checks this)"
+        )
+    if max_batch is None:
+        max_batch = max_batch_for_shape(H, W, wv)
     if B > max_batch:
         # Chunks smaller than the direct-call limit: inside the scan body
         # XLA stages each call's WHOLE operands in VMEM (B=8 chunk: 15.3 MB

@@ -392,6 +392,9 @@ def _split_bf16_3(vals: jnp.ndarray) -> jnp.ndarray:
     reconstruct the f32 value exactly (each residual holds <= 8 further
     mantissa bits). The 8-padding puts each split at a sublane-aligned offset
     so the placement kernel can slice-add them without relayouts.
+
+    (Splitting in-kernel instead was tried and regressed — see
+    delora_tpu/ops/pallas/placement.py kernel note.)
     """
     C = vals.shape[-1]
     cp = -(-C // 8) * 8

@@ -448,13 +448,40 @@ def loss_and_metrics_fullcached(
     compaction reproduces ``project_scan_compact`` exactly, and under pair
     normalization all cached artifacts are linear in 1/s (points, images) so
     scaling them matches re-projecting scaled points (range ordering, hence
-    the per-pixel winner, is scale-invariant). Requires ``augment=False`` —
-    augmentation rotates raw source points before projection, which the
-    cached artifacts cannot express.
+    the per-pixel winner, is scale-invariant).
+
+    With ``cfg.augment`` on, the random rotation is applied to the CACHED
+    COMPACTED SURVIVORS (<= H*W points) which are then re-projected on
+    device via the exact-compaction path — the cached ``image_2`` cannot
+    express a rotated scan, but the survivors can be rotated and re-placed
+    at ~1/3 the sort cost of the raw 131k-point cloud. Deviation from the
+    raw path (documented decision): points that LOST the per-pixel dedup in
+    the unrotated frame cannot resurface as winners after rotation. For
+    consecutive-scan augmentation magnitudes (<= 4 deg, reference
+    deployer.py:205) only a handful of boundary pixels differ; on scans
+    where projection keeps every valid point the two paths are exactly
+    equal (tests/test_fullcached.py::test_fullcached_augment_equals_cached).
+    Rotation preserves ranges, so the cached ``mean_range_2`` stays valid
+    under pair normalization.
     """
-    _, drop_rng = jax.random.split(rng)
-    image_1, image_2 = batch.image_1, batch.image_2
+    aug_rng, drop_rng = jax.random.split(rng)
+    image_1 = batch.image_1
     src_pts, src_nrm = batch.src_points, batch.src_normals
+    if cfg.augment:
+        src_pts, src_nrm = _augment(src_pts, src_nrm, aug_rng, cfg)
+        scale = None
+        if cfg.normalization_scaling:
+            scale = 0.5 * (batch.mean_range_1 + batch.mean_range_2)  # [B]
+            s = scale[:, None, None]
+            src_pts = src_pts / s
+            image_1 = image_1 / s[..., None]
+        # Re-project the rotated survivors (cap <= H*W entries) — image_2 and
+        # the re-compacted source set come out of _loss_core's projection.
+        return _loss_core(
+            apply_fn, params, image_1, batch.normal_image_1,
+            src_pts, src_nrm, batch.src_valid, cfg, drop_rng, scale=scale,
+        )
+    image_2 = batch.image_2
     scale = None
     if cfg.normalization_scaling:
         scale = 0.5 * (batch.mean_range_1 + batch.mean_range_2)   # [B]
@@ -474,12 +501,6 @@ def _check_fullcached(cfg: StepConfig):
         raise ValueError(
             "fully-cached training requires projective or image-space "
             "correspondence"
-        )
-    if cfg.augment:
-        raise ValueError(
-            "fully-cached training requires augmentation off (augmentation "
-            "rotates raw source points before projection; use the "
-            "cached-target step instead)"
         )
 
 

@@ -70,12 +70,13 @@ class Trainer:
             and str(config.get("correspondence", "image"))
             in ("projective", "image")
         )
-        # With augmentation off (the default) the SOURCE projection is
-        # epoch-invariant too: feed fully-cached batches and no raw point
-        # cloud ever enters the compiled step (projection_host.py).
-        self.fully_cached = self.cached_targets and not bool(
-            config["random_point_cloud_rotations"]
-        )
+        # The SOURCE projection artifacts are epoch-invariant too: feed
+        # fully-cached batches and no raw point cloud ever enters the
+        # compiled step (projection_host.py). With augmentation on, the
+        # step rotates the cached compacted survivors and re-projects them
+        # on device (step.py loss_and_metrics_fullcached) — still ~3x less
+        # sort work than feeding the raw padded cloud.
+        self.fully_cached = self.cached_targets
         self.feed = (
             "full" if self.fully_cached
             else "cached" if self.cached_targets

@@ -131,10 +131,63 @@ def test_fullcached_step_matches_cached(normalization, correspondence):
         )
 
 
-def test_fullcached_rejects_augmentation():
+@pytest.mark.parametrize("normalization", [False, True])
+def test_fullcached_augment_equals_cached(normalization):
+    """Augment-on fullcached step == cached-target step when projection keeps
+    every source point (survivor rotation is then identical to raw-cloud
+    rotation; see loss_and_metrics_fullcached docstring for the dense-cloud
+    deviation this pins the absence of)."""
+    batch, _ = synthetic_batch(seed=17)
+    # Make the raw source EXACTLY the unrotated survivor set: projecting it
+    # has no dedup losers, so rotating survivors == rotating the raw cloud.
+    full0 = _fullcached_from(batch)
+    batch = batch._replace(
+        points_2=full0.src_points,
+        normals_2=full0.src_normals,
+        valid_2=full0.src_valid,
+    )
+    cached = _cached_from(batch)
+    full = _fullcached_from(batch)
+
+    model = OdometryModel(ModelConfig())
+    state = create_train_state(
+        model, {"learning_rate": 1e-4},
+        jnp.zeros((2, PSPEC.height, PSPEC.width, 4)),
+    )
+    cfg = StepConfig(
+        proj=PSPEC, icp=IcpLossConfig(),
+        augment=True, augment_magnitude_rad=0.0698,
+        normalization_scaling=normalization,
+    )
+    rng = jax.random.PRNGKey(33)
+
+    loss_a, (metrics_a, _) = jax.jit(
+        lambda p, b, r: loss_and_metrics_cached(state.apply_fn, p, b, cfg, r)
+    )(state.params, cached, rng)
+    loss_b, (metrics_b, _) = jax.jit(
+        lambda p, b, r: loss_and_metrics_fullcached(state.apply_fn, p, b, cfg, r)
+    )(state.params, full, rng)
+
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5, atol=1e-7)
+    for k in metrics_a:
+        np.testing.assert_allclose(
+            float(metrics_a[k]), float(metrics_b[k]), rtol=1e-4, atol=1e-6,
+            err_msg=f"metric {k} diverges (augment-on fullcached vs cached)",
+        )
+
+
+def test_fullcached_augment_train_step_runs():
+    batch, _ = synthetic_batch(seed=19)
+    full = _fullcached_from(batch)
+    model = OdometryModel(ModelConfig())
+    state = create_train_state(
+        model, {"learning_rate": 1e-4},
+        jnp.zeros((2, PSPEC.height, PSPEC.width, 4)),
+    )
     cfg = StepConfig(proj=PSPEC, icp=IcpLossConfig(), augment=True)
-    with pytest.raises(ValueError, match="augmentation"):
-        make_train_step_fullcached(OdometryModel(ModelConfig()), cfg)
+    step = make_train_step_fullcached(model, cfg, donate=False)
+    _, metrics = step(state, full, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
 
 
 def test_dataset_fullcached_batch_and_trainer_feed(tmp_path):
