@@ -155,6 +155,130 @@ def main():
     log(f"headline (fullcached+image): {K} steps x {B} pairs in {elapsed:.2f}s"
         f" -> {pairs_per_sec:.2f} pairs/s ({elapsed / K * 1000:.1f} ms/step)")
 
+    extra = {}
+
+    # ---- MFU accounting (VERDICT r2 item 1): FLOPs/step from XLA's cost
+    # analysis of the compiled headline program, achieved TFLOP/s, and MFU
+    # against the chip's bf16 peak (v5e: 197 TFLOP/s; override with
+    # BENCH_PEAK_TFLOPS for other chips).
+    try:
+        ca = (
+            fstep.lower(state, fbatch, jax.random.PRNGKey(0))
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        peak = float(
+            __import__("os").environ.get("BENCH_PEAK_TFLOPS", 197.0)
+        ) * 1e12
+        step_s = elapsed / K
+        achieved = flops / step_s
+        extra["flops_per_step"] = flops
+        extra["achieved_tflops"] = round(achieved / 1e12, 3)
+        extra["mfu"] = round(achieved / peak, 4)
+        log(f"MFU: {flops / 1e9:.2f} GFLOP/step @ {step_s * 1000:.1f} ms -> "
+            f"{achieved / 1e12:.2f} TFLOP/s achieved = "
+            f"{achieved / peak * 100:.1f}% of {peak / 1e12:.0f} TF bf16 peak")
+    except Exception as e:
+        log(f"MFU accounting failed: {type(e).__name__}: {e}")
+        extra["mfu"] = None
+
+    # ---- On-chip Pallas-vs-XLA bit-equality (VERDICT r2 item 2b / r1 item
+    # 7): placement (packed + compact) and the window matcher, executed on
+    # the REAL device every bench run.
+    try:
+        from delora_tpu.ops.correspondence import (
+            image_space_correspondence_batch,
+        )
+        from delora_tpu.ops.projection import (
+            project_compact_exact_batch, project_image_packed_batch,
+        )
+
+        pb = jax.tree.map(lambda x: x[:2], fbatch)
+        pvals = jnp.concatenate([pb.src_points, pb.src_normals], axis=-1)
+        xla_img = project_image_packed_batch(
+            pb.src_points, pb.src_valid, pspec, values=pvals, backend="xla"
+        )
+        pal_img = project_image_packed_batch(
+            pb.src_points, pb.src_valid, pspec, values=pvals, backend="pallas"
+        )
+        d_packed = float(jnp.max(jnp.abs(xla_img - pal_img)))
+
+        rp = jnp.asarray(p1[:2])
+        rv = jnp.asarray(v1[:2])
+        rvals = jnp.concatenate([rp, jnp.asarray(n1[:2])], axis=-1)
+        xla_c = project_compact_exact_batch(
+            rp, rv, pspec, values=rvals, backend="xla"
+        )
+        pal_c = project_compact_exact_batch(
+            rp, rv, pspec, values=rvals, backend="pallas"
+        )
+        d_compact = float(jnp.max(jnp.abs(xla_c.image - pal_c.image)))
+
+        # B=1 for the matcher: a STANDALONE pallas matcher call stages its
+        # whole operands in VMEM on top of the kernel's double-buffered
+        # blocks (in-step calls at B=8 are fine — operands stream from HBM
+        # inside the larger program); B=2 standalone overruns the 16 MB
+        # scoped budget by ~0.2 MB.
+        HW = H * W
+        s_xyz = pal_img[..., 0:3].reshape(2, HW, 3)[:1]
+        s_occ = (pal_img[..., 6].reshape(2, HW) > 0.0)[:1]
+        m_x = image_space_correspondence_batch(
+            s_xyz, s_occ, pb.image_1[:1], pb.normal_image_1[:1], pspec, (5, 9),
+            backend="xla",
+        )
+        m_p = image_space_correspondence_batch(
+            s_xyz, s_occ, pb.image_1[:1], pb.normal_image_1[:1], pspec, (5, 9),
+            backend="pallas",
+        )
+        d_match = max(
+            float(jnp.max(jnp.abs(m_x.target_points - m_p.target_points))),
+            float(jnp.max(jnp.abs(m_x.target_normals - m_p.target_normals))),
+            float(jnp.max(jnp.abs(m_x.valid ^ m_p.valid))),
+        )
+        extra["pallas_parity_max_abs_diff"] = {
+            "placement_packed": d_packed,
+            "placement_compact": d_compact,
+            "window_matcher": d_match,
+        }
+        log(f"pallas-vs-xla on-chip parity: placement_packed={d_packed} "
+            f"placement_compact={d_compact} window_matcher={d_match}")
+    except Exception as e:
+        log(f"pallas parity check failed: {type(e).__name__}: {e}")
+        extra["pallas_parity_max_abs_diff"] = None
+
+    # ---- Fullcached + AUGMENT timing (VERDICT r2 item 2a): the path the
+    # trainer actually runs when random_point_cloud_rotations is on
+    # (training/step.py loss_and_metrics_fullcached, augment branch).
+    try:
+        if remaining() > 60:
+            acfg = cfg._replace(augment=True)
+            astep = make_train_step_fullcached(model, acfg, donate=False)
+            t0 = time.time()
+            _, m = astep(state, fbatch, jax.random.PRNGKey(8))
+            _, m = astep(state, fbatch, jax.random.PRNGKey(9))
+            sync(m["loss"])
+            log(f"fullcached+augment compile+warmup: {time.time() - t0:.1f}s;"
+                f" loss={float(m['loss']):.5f}")
+            t0 = time.time()
+            for k in range(K):
+                _, m = astep(state, fbatch, jax.random.PRNGKey(500 + k))
+            sync(m["loss"])
+            el = time.time() - t0
+            aug_pps = K * B / el
+            extra["augment_pairs_per_sec"] = round(aug_pps, 3)
+            extra["augment_overflow_tiles"] = float(
+                m["placement_overflow_tiles"]
+            )
+            log(f"fullcached+augment: {K} steps x {B} pairs in {el:.2f}s -> "
+                f"{aug_pps:.2f} pairs/s ({el / K * 1000:.1f} ms/step); "
+                f"overflow_tiles={float(m['placement_overflow_tiles']):.0f}")
+    except Exception as e:
+        log(f"augment bench failed: {type(e).__name__}: {e}")
+        extra["augment_pairs_per_sec"] = None
+
     # ---- Diagnostics (best effort, deadline-guarded, stderr only). ----
     def diagnostics():
         nonlocal state
@@ -167,8 +291,10 @@ def main():
         )
 
         if remaining() > 120:
-            # Cached-target step (source projected on device): the path the
-            # trainer uses when augmentation is on.
+            # Cached-target step (source projected on device every step):
+            # the trainer's fallback feed when cache_source_projections is
+            # off (trainer.py). The default trainer path — augment on or
+            # off — is the fullcached feed measured above.
             cstep = make_train_step_cached(model, cfg, donate=False)
             t0 = time.time()
             _, m = cstep(state, cbatch, jax.random.PRNGKey(6))
@@ -269,6 +395,7 @@ def main():
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / 10.0, 3),
+        **extra,
     }))
 
 

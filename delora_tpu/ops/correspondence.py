@@ -254,66 +254,75 @@ def image_space_correspondence_batch(
     """Batched :func:`image_space_correspondence_core`.
 
     backend: "xla" (vmapped fori_loop core), "pallas" (fused VMEM-resident
-    kernel, delora_tpu/ops/pallas/window_match.py), or "auto" (pallas on TPU
-    backends when the shape fits the kernel's VMEM budget — the 2250-wide
-    preprocessing resolution does not and silently takes the XLA path — xla
-    elsewhere). Both produce identical winners (same dv-major iteration
-    order and strict-< tie-breaking).
-
-    NOTE: "auto" keys off the PROCESS DEFAULT backend (``jax.devices()[0]``),
-    not the mesh the computation is placed on — in a process with a
-    registered TPU client but computation pinned to a CPU mesh, pin
-    ``backend="xla"`` explicitly (the multichip dryrun does).
+    kernel, delora_tpu/ops/pallas/window_match.py), or "auto" (pallas when
+    the program is LOWERED FOR a TPU and the shape fits the kernel's VMEM
+    budget — the 2250-wide preprocessing resolution does not and silently
+    takes the XLA path — xla elsewhere). "auto" dispatches through
+    ``jax.lax.platform_dependent``, i.e. it resolves against the platform the
+    surrounding jit actually compiles for (the mesh's, not the process
+    default), so a CPU-mesh computation in a TPU-client process is safe.
+    Both backends produce identical winners (same dv-major iteration order
+    and strict-< tie-breaking).
     """
-    if backend == "auto":
-        from delora_tpu.ops.pallas.window_match import fits_vmem
 
-        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        backend = (
-            "pallas"
-            if on_tpu and fits_vmem(spec.height, spec.width, window[0])
-            else "xla"
-        )
-    if backend == "xla":
+    def _xla():
         return jax.vmap(
             lambda sx, so, img, nimg: image_space_correspondence_core(
                 sx, so, img, nimg, spec, window
             )
         )(src_xyz, src_occ, target_image, target_normal_image)
 
-    from delora_tpu.ops.pallas.window_match import window_match_pallas
+    def _pallas(interpret: bool):
+        from delora_tpu.ops.pallas.window_match import window_match_pallas
 
-    H, W = spec.height, spec.width
-    wv, wu = window
-    a = wv // 2
-    B = src_xyz.shape[0]
+        H, W = spec.height, spec.width
+        wv, wu = window
+        a = wv // 2
+        B = src_xyz.shape[0]
 
-    occ = jnp.any(target_image[..., :3] != 0.0, axis=-1, keepdims=True)
-    tgt = jnp.concatenate(
-        [target_image[..., :3], target_normal_image,
-         occ.astype(target_image.dtype)], axis=-1
-    )                                                         # [B, H, W, 7]
-    tgt_pad = jnp.pad(tgt, ((0, 0), (a, a), (0, 0), (0, 0)))
-    tgt_planes = jnp.transpose(tgt_pad, (0, 3, 1, 2))         # [B, 7, H+2a, W]
-    src_planes = jnp.transpose(
-        jax.lax.stop_gradient(src_xyz).reshape(B, H, W, 3), (0, 3, 1, 2)
+        occ = jnp.any(target_image[..., :3] != 0.0, axis=-1, keepdims=True)
+        tgt = jnp.concatenate(
+            [target_image[..., :3], target_normal_image,
+             occ.astype(target_image.dtype)], axis=-1
+        )                                                     # [B, H, W, 7]
+        tgt_pad = jnp.pad(tgt, ((0, 0), (a, a), (0, 0), (0, 0)))
+        tgt_planes = jnp.transpose(tgt_pad, (0, 3, 1, 2))     # [B, 7, H+2a, W]
+        src_planes = jnp.transpose(
+            jax.lax.stop_gradient(src_xyz).reshape(B, H, W, 3), (0, 3, 1, 2)
+        )
+
+        best_sq, best_xyz, best_nrm = window_match_pallas(
+            src_planes, tgt_planes, wv=wv, wu=wu, interpret=interpret,
+        )
+        best_xyz = jnp.transpose(best_xyz, (0, 2, 3, 1)).reshape(B, H * W, 3)
+        best_nrm = jnp.transpose(best_nrm, (0, 2, 3, 1)).reshape(B, H * W, 3)
+        best_sq = best_sq.reshape(B, H * W)
+
+        valid = src_occ & jnp.isfinite(best_sq)
+        tgt_pts = jnp.where(valid[..., None], best_xyz, 0.0)
+        tgt_nrm = jnp.where(valid[..., None], best_nrm, 0.0)
+        dd = src_xyz - tgt_pts
+        sq_out = jnp.where(valid, jnp.sum(dd * dd, axis=-1), jnp.inf)
+        return Correspondence(tgt_pts, tgt_nrm, valid, sq_out)
+
+    if backend == "auto":
+        from delora_tpu.ops.pallas.window_match import fits_vmem
+
+        if not fits_vmem(spec.height, spec.width, window[0]):
+            return _xla()
+        # Resolved at LOWERING time per target platform: only the branch for
+        # the platform being compiled is lowered (the pallas kernel never
+        # reaches a CPU lowering, the fori-loop core never reaches a TPU one).
+        tpu_branch = lambda: _pallas(interpret=False)  # noqa: E731
+        return jax.lax.platform_dependent(
+            tpu=tpu_branch, axon=tpu_branch, default=_xla
+        )
+    if backend == "xla":
+        return _xla()
+    # Forced-pallas on a non-TPU process default runs the interpreter (tests).
+    return _pallas(
+        interpret=jax.devices()[0].platform not in ("tpu", "axon")
     )
-
-    best_sq, best_xyz, best_nrm = window_match_pallas(
-        src_planes, tgt_planes, wv=wv, wu=wu,
-        # Forced-pallas on a non-TPU backend runs the interpreter (tests).
-        interpret=jax.devices()[0].platform not in ("tpu", "axon"),
-    )
-    best_xyz = jnp.transpose(best_xyz, (0, 2, 3, 1)).reshape(B, H * W, 3)
-    best_nrm = jnp.transpose(best_nrm, (0, 2, 3, 1)).reshape(B, H * W, 3)
-    best_sq = best_sq.reshape(B, H * W)
-
-    valid = src_occ & jnp.isfinite(best_sq)
-    tgt_pts = jnp.where(valid[..., None], best_xyz, 0.0)
-    tgt_nrm = jnp.where(valid[..., None], best_nrm, 0.0)
-    dd = src_xyz - tgt_pts
-    sq_out = jnp.where(valid, jnp.sum(dd * dd, axis=-1), jnp.inf)
-    return Correspondence(tgt_pts, tgt_nrm, valid, sq_out)
 
 
 def brute_force_correspondence(

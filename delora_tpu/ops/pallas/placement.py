@@ -87,24 +87,13 @@ def placement_pallas(
     vc = vals.shape[-1]
     assert vc % 3 == 0, vc
     cp = vc // 3
-    if interpret:
-        # Overflow observability (tests/CPU only — free on TPU): a tile whose
-        # window run exceeds nchunks*chunk drops its tail, which differs from
-        # the XLA path's [pos, pos+smax) drop (strictly FEWER drops — the
-        # chunk-aligned windows are a superset — but not bit-identical in
-        # pathological pitch-compression cases). Surface it instead of
-        # diverging silently.
-        def _warn_overflow(n_over):
-            if int(n_over):
-                print(
-                    f"[placement_pallas] {int(n_over)} tile window(s) exceed "
-                    f"{nchunks * chunk} entries: tail entries dropped "
-                    "(backend divergence vs xla possible on this input)"
-                )
-
-        jax.debug.callback(
-            _warn_overflow, jnp.sum(cnt > nchunks * chunk)
-        )
+    # Overflow observability: a tile whose window run exceeds nchunks*chunk
+    # drops its tail, which differs from the XLA path's [pos, pos+smax) drop
+    # (strictly FEWER drops — the chunk-aligned windows are a superset — but
+    # not bit-identical in pathological pitch-compression cases). This is
+    # surfaced on-device as the train step's ``placement_overflow_tiles``
+    # metric (projection.py project_image_packed_batch(return_overflow=True)),
+    # not by a host callback.
     kernel = functools.partial(
         _placement_kernel, tile=tile, chunk=chunk, cp=cp
     )

@@ -249,6 +249,7 @@ def project_image_packed(
     points: jnp.ndarray, valid: jnp.ndarray, spec: ProjectionSpec,
     values: jnp.ndarray = None,
     tile: int = 1024, smax: int = 3072,
+    return_overflow: bool = False,
 ) -> jnp.ndarray:
     """Image-only projection: ONE packed-key fat sort + windowed one-hot
     matmul placement — the warped-source fast path of the image-space matcher
@@ -286,7 +287,12 @@ def project_image_packed(
     unmatched pixel. At KITTI scale a tile holds ~1.1k entries (at most one
     source point per source pixel), so smax=3072 is ~3x headroom. ONLY safe
     for already-deduplicated inputs: a raw scan has unbounded candidates per
-    pixel — use :func:`project_compact_exact` there.
+    pixel — use :func:`project_compact_exact` there. With
+    ``return_overflow=True`` the function also returns the number of tiles
+    whose entry run exceeded the window (i32 scalar, one cheap [T]-reduction)
+    so overflow — and therefore possible xla/pallas winner divergence — is
+    observable on-device in production (the train step surfaces it as the
+    ``placement_overflow_tiles`` metric).
 
     Requires H*W < 2**16 (holds at train resolutions; the preprocessing
     resolution path keeps using :func:`project_scan`).
@@ -332,13 +338,24 @@ def project_image_packed(
 
     # (2) Windowed one-hot matmul placement.
     num_tiles = -(-num_pix // tile)
-    tile_starts = (jnp.arange(num_tiles, dtype=jnp.uint32) * tile) << 16
-    pos = jnp.searchsorted(sorted_key, tile_starts, side="left")
-    pos = jnp.minimum(pos, jnp.uint32(N - 1)).astype(jnp.int32)
+    # Boundaries include the end (num_tiles*tile) for the overflow count;
+    # clamp to num_pix BEFORE shifting — the end boundary can hit 65536,
+    # whose u32 shift wraps to 0 (same guard as _placement_windows).
+    bound_pix = jnp.minimum(
+        jnp.arange(num_tiles + 1, dtype=jnp.uint32) * tile, num_pix
+    )
+    bounds = jnp.searchsorted(sorted_key, bound_pix << 16, side="left")
+    pos = jnp.minimum(bounds[:num_tiles], jnp.uint32(N - 1)).astype(jnp.int32)
 
-    return _windowed_placement(
+    image = _windowed_placement(
         pix_sorted, first, sorted_vals, pos, spec, tile, smax
     )
+    if not return_overflow:
+        return image
+    n_overflow = jnp.sum(
+        (bounds[1:] - bounds[:-1]).astype(jnp.int32) > smax
+    ).astype(jnp.int32)
+    return image, n_overflow
 
 
 def _windowed_placement(
@@ -406,23 +423,24 @@ def _split_bf16_3(vals: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.pad(x, pad) for x in (hi, mid, lo)], axis=-1)
 
 
-def _resolve_placement_backend(backend: str):
-    """-> (use_pallas, interpret). "auto" = pallas on TPU, xla elsewhere;
-    forcing "pallas" off-TPU runs the interpreter (tests).
+def _dispatch_backend(backend: str, xla_fn, pallas_fn):
+    """Run ``xla_fn()`` or ``pallas_fn(interpret)`` per ``backend``.
 
-    CAVEAT: "auto" keys off the PROCESS DEFAULT backend
-    (``jax.devices()[0].platform``), not the mesh the computation actually
-    runs on. In a process with a registered TPU client but computation placed
-    on a CPU mesh, "auto" picks pallas and compilation fails — pin
-    ``backend="xla"`` explicitly on non-default meshes (the multichip dryrun
-    does; see __graft_entry__.py).
+    "auto" dispatches through ``jax.lax.platform_dependent``: the choice is
+    made at LOWERING time against the platform the surrounding jit actually
+    compiles for (the mesh's, not the process default), so computation placed
+    on a CPU mesh inside a TPU-client process correctly gets the XLA path.
+    Forcing "pallas" on a non-TPU process default runs the interpreter
+    (tests).
     """
-    if backend == "auto":
-        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        return on_tpu, False
+    if backend == "xla":
+        return xla_fn()
     if backend == "pallas":
-        return True, jax.devices()[0].platform not in ("tpu", "axon")
-    return False, False
+        return pallas_fn(jax.devices()[0].platform not in ("tpu", "axon"))
+    tpu_branch = lambda: pallas_fn(False)  # noqa: E731
+    return jax.lax.platform_dependent(
+        tpu=tpu_branch, axon=tpu_branch, default=xla_fn
+    )
 
 
 _PLACE_CHUNK = 512
@@ -490,6 +508,7 @@ def project_image_packed_batch(
     values: jnp.ndarray = None,
     tile: int = 1024, smax: int = 3072,
     backend: str = "auto",
+    return_overflow: bool = False,
 ) -> jnp.ndarray:
     """Batched :func:`project_image_packed` ``[B, N, .] -> [B, H, W, C]``.
 
@@ -500,47 +519,66 @@ def project_image_packed_batch(
     placement whose serialized window slices cost ~2.5 ms/step at KITTI B=8;
     "xla" falls back to the vmapped scalar path. Identical values either way
     (same winners, same exact bf16-split placement).
+
+    ``return_overflow=True`` additionally returns per-batch overflowing-tile
+    counts ([B] i32) against the ACTIVE backend's window capacity (xla:
+    ``smax`` entries from the tile's first entry; pallas: ``nchunks*chunk``
+    chunk-aligned entries — a superset, so strictly fewer drops). Nonzero
+    means winner entries were dropped to empty pixels and the two backends
+    may diverge on this input.
     """
-    use_pallas, interpret = _resolve_placement_backend(backend)
-    if not use_pallas:
+    def _xla():
         return jax.vmap(
             lambda p, v, m: project_image_packed(
-                p, m, spec, values=v, tile=tile, smax=smax
+                p, m, spec, values=v, tile=tile, smax=smax,
+                return_overflow=return_overflow,
             )
         )(points, points if values is None else values, valid)
 
-    N = points.shape[1]
-    H, W = spec.height, spec.width
-    num_pix = H * W
-    if num_pix >= (1 << 16):
-        raise ValueError("project_image_packed_batch needs H*W < 65536")
-    num_tiles = -(-num_pix // tile)
-    nchunks = smax // _PLACE_CHUNK + 1
+    def _pallas(interpret):
+        H, W = spec.height, spec.width
+        num_pix = H * W
+        if num_pix >= (1 << 16):
+            raise ValueError("project_image_packed_batch needs H*W < 65536")
+        num_tiles = -(-num_pix // tile)
+        nchunks = smax // _PLACE_CHUNK + 1
 
-    def prep(pts, vals_or_pts, mask):
-        r, _, _, in_fov, pix = _pixel_coords(pts, mask, spec)
-        r_bits = jax.lax.bitcast_convert_type(r.astype(jnp.float32), jnp.uint32)
-        key = (pix.astype(jnp.uint32) << 16) | (r_bits >> 16)
-        key = jnp.where(in_fov, key, jnp.uint32(num_pix) << 16)
-        feat = jnp.concatenate([vals_or_pts, r[:, None]], axis=-1)
-        ops = (key,) + tuple(feat[:, c] for c in range(feat.shape[-1]))
-        sorted_ops = jax.lax.sort(ops, num_keys=1)
-        sorted_key = sorted_ops[0]
-        sorted_vals = jnp.stack(sorted_ops[1:], axis=-1)
-        pix_sorted = (sorted_key >> 16).astype(jnp.int32)
-        first = jnp.concatenate(
-            [jnp.ones((1,), bool), pix_sorted[1:] != pix_sorted[:-1]]
-        ) & (pix_sorted < num_pix)
-        pix_enc = jnp.where(first, pix_sorted, 1 << 30)
-        posb, cnt = _placement_windows(sorted_key, tile, num_tiles, True, num_pix)
-        return pix_enc, sorted_vals, posb, cnt
+        def prep(pts, vals_or_pts, mask):
+            r, _, _, in_fov, pix = _pixel_coords(pts, mask, spec)
+            r_bits = jax.lax.bitcast_convert_type(
+                r.astype(jnp.float32), jnp.uint32
+            )
+            key = (pix.astype(jnp.uint32) << 16) | (r_bits >> 16)
+            key = jnp.where(in_fov, key, jnp.uint32(num_pix) << 16)
+            feat = jnp.concatenate([vals_or_pts, r[:, None]], axis=-1)
+            ops = (key,) + tuple(feat[:, c] for c in range(feat.shape[-1]))
+            sorted_ops = jax.lax.sort(ops, num_keys=1)
+            sorted_key = sorted_ops[0]
+            sorted_vals = jnp.stack(sorted_ops[1:], axis=-1)
+            pix_sorted = (sorted_key >> 16).astype(jnp.int32)
+            first = jnp.concatenate(
+                [jnp.ones((1,), bool), pix_sorted[1:] != pix_sorted[:-1]]
+            ) & (pix_sorted < num_pix)
+            pix_enc = jnp.where(first, pix_sorted, 1 << 30)
+            posb, cnt = _placement_windows(
+                sorted_key, tile, num_tiles, True, num_pix
+            )
+            return pix_enc, sorted_vals, posb, cnt
 
-    pix_enc, sorted_vals, posb, cnt = jax.vmap(prep)(
-        points, points if values is None else values, valid
-    )
-    return _placement_pallas_batch(
-        pix_enc, sorted_vals, posb, cnt, spec, tile, nchunks, interpret
-    )
+        pix_enc, sorted_vals, posb, cnt = jax.vmap(prep)(
+            points, points if values is None else values, valid
+        )
+        image = _placement_pallas_batch(
+            pix_enc, sorted_vals, posb, cnt, spec, tile, nchunks, interpret
+        )
+        if not return_overflow:
+            return image
+        n_overflow = jnp.sum(
+            cnt > nchunks * _PLACE_CHUNK, axis=-1
+        ).astype(jnp.int32)
+        return image, n_overflow
+
+    return _dispatch_backend(backend, _xla, _pallas)
 
 
 class CompactImageProjection(NamedTuple):
@@ -635,49 +673,53 @@ def project_compact_exact_batch(
     chunked Pallas kernel; the compacted winners hold <= 1 entry per pixel,
     so ``tile//chunk + 1`` chunks can never overflow — the same exactness
     argument as the XLA path's ``smax = tile`` window."""
-    use_pallas, interpret = _resolve_placement_backend(backend)
-    if not use_pallas:
+    def _xla():
         return jax.vmap(
             lambda p, v, m: project_compact_exact(
                 p, m, spec, values=v, tile=tile
             )
         )(points, points if values is None else values, valid)
 
-    N = points.shape[1]
-    num_pix = spec.height * spec.width
-    cap = min(N, num_pix)
-    num_tiles = -(-num_pix // tile)
-    nchunks = tile // _PLACE_CHUNK + 1
+    def _pallas(interpret):
+        N = points.shape[1]
+        num_pix = spec.height * spec.width
+        cap = min(N, num_pix)
+        num_tiles = -(-num_pix // tile)
+        nchunks = tile // _PLACE_CHUNK + 1
 
-    def prep(pts, vals_or_pts, mask):
-        r, _, _, in_fov, pix = _pixel_coords(pts, mask, spec)
-        feat = vals_or_pts
-        C = feat.shape[-1] + 1
-        ops = (pix, r) + tuple(feat[:, c] for c in range(C - 1))
-        sorted_ops = jax.lax.sort(ops, num_keys=2)
-        pix_sorted = sorted_ops[0]
-        first = jnp.concatenate(
-            [jnp.ones((1,), bool), pix_sorted[1:] != pix_sorted[:-1]]
-        ) & (pix_sorted < num_pix)
-        loser = jnp.logical_not(first).astype(jnp.int32)
-        ops2 = (loser, pix_sorted) + sorted_ops[2:] + (sorted_ops[1],)
-        comp_ops = jax.lax.sort(ops2, num_keys=1)
-        num_winners = jnp.sum(first.astype(jnp.int32))
-        comp_mask = jnp.arange(cap, dtype=jnp.int32) < num_winners
-        comp_pix = jnp.where(comp_mask, comp_ops[1][:cap], num_pix)
-        comp_vals = jnp.stack([o[:cap] for o in comp_ops[2:]], axis=-1)
-        posb, cnt = _placement_windows(comp_pix, tile, num_tiles, False, num_pix)
-        return comp_pix, comp_vals, comp_mask, posb, cnt
+        def prep(pts, vals_or_pts, mask):
+            r, _, _, in_fov, pix = _pixel_coords(pts, mask, spec)
+            feat = vals_or_pts
+            C = feat.shape[-1] + 1
+            ops = (pix, r) + tuple(feat[:, c] for c in range(C - 1))
+            sorted_ops = jax.lax.sort(ops, num_keys=2)
+            pix_sorted = sorted_ops[0]
+            first = jnp.concatenate(
+                [jnp.ones((1,), bool), pix_sorted[1:] != pix_sorted[:-1]]
+            ) & (pix_sorted < num_pix)
+            loser = jnp.logical_not(first).astype(jnp.int32)
+            ops2 = (loser, pix_sorted) + sorted_ops[2:] + (sorted_ops[1],)
+            comp_ops = jax.lax.sort(ops2, num_keys=1)
+            num_winners = jnp.sum(first.astype(jnp.int32))
+            comp_mask = jnp.arange(cap, dtype=jnp.int32) < num_winners
+            comp_pix = jnp.where(comp_mask, comp_ops[1][:cap], num_pix)
+            comp_vals = jnp.stack([o[:cap] for o in comp_ops[2:]], axis=-1)
+            posb, cnt = _placement_windows(
+                comp_pix, tile, num_tiles, False, num_pix
+            )
+            return comp_pix, comp_vals, comp_mask, posb, cnt
 
-    comp_pix, comp_vals, comp_mask, posb, cnt = jax.vmap(prep)(
-        points, points if values is None else values, valid
-    )
-    image = _placement_pallas_batch(
-        comp_pix, comp_vals, posb, cnt, spec, tile, nchunks, interpret
-    )
-    return CompactImageProjection(
-        image=image, comp_vals=comp_vals, comp_mask=comp_mask
-    )
+        comp_pix, comp_vals, comp_mask, posb, cnt = jax.vmap(prep)(
+            points, points if values is None else values, valid
+        )
+        image = _placement_pallas_batch(
+            comp_pix, comp_vals, posb, cnt, spec, tile, nchunks, interpret
+        )
+        return CompactImageProjection(
+            image=image, comp_vals=comp_vals, comp_mask=comp_mask
+        )
+
+    return _dispatch_backend(backend, _xla, _pallas)
 
 
 def project_image(

@@ -222,6 +222,7 @@ def _loss_tail(
     src_nrm = se3.rotate_points(T, nrm_c)
 
     loss_src = (src_pts, src_nrm, src_valid)
+    placement_overflow = jnp.zeros((), jnp.float32)
     if cfg.correspondence == "projective":
         corr = jax.vmap(
             lambda s, m, img, nimg: projective_correspondence(
@@ -244,10 +245,15 @@ def _loss_tail(
         # Image-only packed-key projection (one sort) at train resolutions;
         # project_scan if H*W exceeds the 16-bit pixel-key budget.
         if cfg.proj.height * cfg.proj.width < (1 << 16):
-            wimage = project_image_packed_batch(
+            # The reprojection is the one NON-compacted placement in the hot
+            # path — the only place window overflow (dropped winners, and
+            # therefore possible xla/pallas divergence) can occur. Count it
+            # on-device and surface it in the step metrics.
+            wimage, n_overflow = project_image_packed_batch(
                 pos_sel, src_valid, cfg.proj, values=vals,
-                backend=cfg.placement_backend,
+                backend=cfg.placement_backend, return_overflow=True,
             )
+            placement_overflow = jnp.sum(n_overflow).astype(jnp.float32)
         else:
             wimage = jax.vmap(
                 lambda pv, m: project_scan(pv, m, cfg.proj).image[..., 3:]
@@ -311,6 +317,11 @@ def _loss_tail(
             per_pair["num_po2pl_pairs"].astype(jnp.float32)
         ),
         "visible_pixels": jnp.mean(visible.astype(jnp.float32)),
+        # Total reprojection-placement tiles whose window overflowed this
+        # step (dropped winners -> possible xla/pallas divergence); 0 in
+        # normal operation. Only the image matcher's packed reprojection can
+        # overflow — the compacted target/source placements cannot.
+        "placement_overflow_tiles": placement_overflow,
     }
     aux = {"transforms": T, "scale": scale}
     return loss, (metrics, aux)
@@ -456,11 +467,23 @@ def loss_and_metrics_fullcached(
     express a rotated scan, but the survivors can be rotated and re-placed
     at ~1/3 the sort cost of the raw 131k-point cloud. Deviation from the
     raw path (documented decision): points that LOST the per-pixel dedup in
-    the unrotated frame cannot resurface as winners after rotation. For
-    consecutive-scan augmentation magnitudes (<= 4 deg, reference
-    deployer.py:205) only a handful of boundary pixels differ; on scans
-    where projection keeps every valid point the two paths are exactly
-    equal (tests/test_fullcached.py::test_fullcached_augment_equals_cached).
+    the unrotated frame cannot resurface as winners after rotation.
+
+    MEASURED at KITTI-like candidate density (structured world, ~6 stored
+    points per occupied train pixel, preprocessing-resolution normals, 4 deg
+    magnitude — tests/test_fullcached.py::
+    test_fullcached_augment_deviation_quantified_at_density): ~6% of
+    occupied source pixels lose coverage (their winner moved and the loser
+    that would have backfilled is absent), ~40% select a DIFFERENT
+    same-surface candidate (median |delta range| ~0.5 m), po2pl pair count
+    ~0.8x, relative loss delta ~18% at a random init. This is a materially
+    different — though still unbiased-over-the-surface — sample of the scan,
+    NOT a boundary effect. On scans where projection keeps every valid point
+    the two paths are exactly equal
+    (tests/test_fullcached.py::test_fullcached_augment_equals_cached).
+    Training-quality impact is measured by the on-chip augment A/B
+    (docs/BENCH_NOTES.md); set ``cache_source_projections: false`` to train
+    augment-on through the deviation-free cached-target feed instead.
     Rotation preserves ranges, so the cached ``mean_range_2`` stays valid
     under pair normalization.
     """

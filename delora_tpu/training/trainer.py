@@ -75,8 +75,15 @@ class Trainer:
         # compiled step (projection_host.py). With augmentation on, the
         # step rotates the cached compacted survivors and re-projects them
         # on device (step.py loss_and_metrics_fullcached) — still ~3x less
-        # sort work than feeding the raw padded cloud.
-        self.fully_cached = self.cached_targets
+        # sort work than feeding the raw padded cloud, at the documented
+        # dedup-loser deviation (step.py loss_and_metrics_fullcached
+        # docstring, quantified in tests/test_fullcached.py). Setting
+        # cache_source_projections: false falls back to the cached-target
+        # feed: raw source points enter the step, the source is projected
+        # on device every step, and augmentation is deviation-free.
+        self.fully_cached = self.cached_targets and bool(
+            config.get("cache_source_projections", True)
+        )
         self.feed = (
             "full" if self.fully_cached
             else "cached" if self.cached_targets

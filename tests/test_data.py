@@ -161,6 +161,107 @@ def test_export_kitti_sequence_script(tmp_path):
     assert sum(1 for _ in reader) == 2
 
 
+def test_export_write_bag_branch(tmp_path, monkeypatch):
+    """The --bag writer branch (reference convert_to_rosbag.py:68): a ROS1
+    env is not available here, so fake rosbag/rospy/sensor_msgs modules are
+    injected and the writer's contract is asserted — /velodyne_points topic,
+    x/y/z/intensity FLOAT32 fields, frame_id velodyne, 10 Hz timestamps."""
+    import importlib.util
+    import sys as _sys
+    import types
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "export_kitti_sequence",
+        os.path.join(repo, "scripts", "export_kitti_sequence.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    written = []
+
+    class FakeTime:
+        def __init__(self, s):
+            self.s = s
+
+        @classmethod
+        def from_sec(cls, s):
+            return cls(s)
+
+        def __add__(self, other):
+            return FakeTime(self.s + other.s)
+
+    class FakeBag:
+        def __init__(self, path, mode):
+            self.path, self.mode = path, mode
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def write(self, topic, msg, t):
+            written.append((topic, msg, t.s))
+
+    class FakePointField:
+        FLOAT32 = 7
+
+        def __init__(self, name, offset, datatype, count):
+            self.name, self.offset = name, offset
+            self.datatype, self.count = datatype, count
+
+    class FakeHeader:
+        def __init__(self):
+            self.frame_id = None
+            self.stamp = None
+
+    def fake_create_cloud(header, fields, scan):
+        return types.SimpleNamespace(
+            header=types.SimpleNamespace(
+                frame_id=header.frame_id, stamp=header.stamp
+            ),
+            fields=list(fields),
+            n=len(scan),
+        )
+
+    rosbag = types.ModuleType("rosbag")
+    rosbag.Bag = FakeBag
+    rospy = types.ModuleType("rospy")
+    rospy.Time = FakeTime
+    rospy.Duration = FakeTime
+    sensor_msgs = types.ModuleType("sensor_msgs")
+    sensor_msgs_msg = types.ModuleType("sensor_msgs.msg")
+    sensor_msgs_msg.PointField = FakePointField
+    pc2 = types.ModuleType("sensor_msgs.point_cloud2")
+    pc2.create_cloud = fake_create_cloud
+    sensor_msgs.msg = sensor_msgs_msg
+    sensor_msgs.point_cloud2 = pc2
+    std_msgs = types.ModuleType("std_msgs")
+    std_msgs_msg = types.ModuleType("std_msgs.msg")
+    std_msgs_msg.Header = FakeHeader
+    std_msgs.msg = std_msgs_msg
+    for name, m in {
+        "rosbag": rosbag, "rospy": rospy,
+        "sensor_msgs": sensor_msgs, "sensor_msgs.msg": sensor_msgs_msg,
+        "sensor_msgs.point_cloud2": pc2,
+        "std_msgs": std_msgs, "std_msgs.msg": std_msgs_msg,
+    }.items():
+        monkeypatch.setitem(_sys.modules, name, m)
+
+    scans = [np.zeros((5, 4), np.float32), np.ones((7, 4), np.float32)]
+    n = mod.write_bag(scans, str(tmp_path / "07.bag"))
+    assert n == 2 and len(written) == 2
+    topics = {t for t, _, _ in written}
+    assert topics == {"/velodyne_points"}
+    assert [t for _, _, t in written] == [0.0, 0.1]        # 10 Hz
+    msg = written[0][1]
+    assert [f.name for f in msg.fields] == ["x", "y", "z", "intensity"]
+    assert [f.offset for f in msg.fields] == [0, 4, 8, 12]
+    assert msg.header.frame_id == "velodyne"
+    assert written[0][1].n == 5 and written[1][1].n == 7
+
+
 def test_ram_cache_is_ragged(tmp_path):
     """VERDICT r1 item 8: the RAM cache stores actual-size arrays (the
     reference's own ~50 GB KITTI footprint, reference src/data/dataset.py:

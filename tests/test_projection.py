@@ -396,3 +396,37 @@ def test_placement_windows_u32_boundary_wrap():
     # documented 16-bit range-key truncation — so only backend parity and
     # a populated final tile are asserted for the packed path.)
     assert np.abs(np.asarray(pal).reshape(B, -1, 4)[:, 64512:]).sum() > 0
+
+
+def test_placement_overflow_counter():
+    """VERDICT r2 item 7: window overflow is surfaced as an on-device count
+    (per batch element, number of tiles whose entry run exceeded the active
+    backend's window capacity), not an interpret-only warning."""
+    from delora_tpu.ops.projection import project_image_packed_batch
+
+    rng = np.random.default_rng(21)
+    B, N = 2, 2048
+    pts = rng.normal(size=(B, N, 3)).astype(np.float32) * np.array(
+        [8.0, 8.0, 0.5], np.float32
+    )
+    pts[..., 2] -= 1.5
+    valid = np.ones((B, N), bool)
+    p, v = jnp.asarray(pts), jnp.asarray(valid)
+
+    # smax far below the per-tile entry run -> overflow on both backends.
+    _, over_xla = project_image_packed_batch(
+        p, v, SPEC, smax=64, backend="xla", return_overflow=True
+    )
+    assert over_xla.shape == (B,)
+    assert (np.asarray(over_xla) >= 1).all()
+
+    _, over_pal = project_image_packed_batch(
+        p, v, SPEC, smax=64, backend="pallas", return_overflow=True
+    )
+    assert (np.asarray(over_pal) >= 1).all()
+
+    # Full-size window -> zero overflow.
+    _, over_ok = project_image_packed_batch(
+        p, v, SPEC, smax=N, backend="xla", return_overflow=True
+    )
+    assert (np.asarray(over_ok) == 0).all()

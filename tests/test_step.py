@@ -116,6 +116,9 @@ def test_unsupervised_step_updates_params_and_is_finite():
     assert np.isfinite(float(metrics["loss_pc"]))
     assert float(metrics["grad_norm"]) > 0.0
     assert not np.allclose(np.asarray(jax.tree.leaves(state.params)[0]), p_before)
+    # Overflow observability (VERDICT r2 item 7): the metric exists and is
+    # zero on well-behaved inputs.
+    assert float(metrics["placement_overflow_tiles"]) == 0.0
 
 
 def test_infer_step_shapes_and_so3():
