@@ -71,6 +71,71 @@ def make_world(seed: int = 0, extent: float = 60.0, n_boxes: int = 24
     return world
 
 
+def _add_box(world: List[PlaneSegment], cx: float, cy: float,
+             w: float, d: float, h: float) -> None:
+    world.append(PlaneSegment(0, cx - w / 2, (cy - d / 2, -1.8),
+                              (cy + d / 2, -1.8 + h)))
+    world.append(PlaneSegment(0, cx + w / 2, (cy - d / 2, -1.8),
+                              (cy + d / 2, -1.8 + h)))
+    world.append(PlaneSegment(1, cy - d / 2, (cx - w / 2, -1.8),
+                              (cx + w / 2, -1.8 + h)))
+    world.append(PlaneSegment(1, cy + d / 2, (cx - w / 2, -1.8),
+                              (cx + w / 2, -1.8 + h)))
+
+
+def make_world_along(traj: np.ndarray, n_boxes: int = 200, seed: int = 0,
+                     lateral: Tuple[float, float] = (8.0, 60.0)
+                     ) -> List[PlaneSegment]:
+    """World whose geometry FOLLOWS a trajectory: a ground plane covering the
+    path's bounding box (+ sensor range margin) and boxes scattered at
+    lateral offsets from random path points, so arbitrarily long drives
+    (the >= 800 m KITTI-metric experiments) keep structure in sensor range
+    for the whole sequence — ``make_world``'s fixed-extent scatter empties
+    out past ~240 m.
+    """
+    rng = np.random.default_rng(seed)
+    xy = traj[:, :2, 3]
+    lo = xy.min(axis=0) - 100.0
+    hi = xy.max(axis=0) + 100.0
+    world: List[PlaneSegment] = [
+        PlaneSegment(2, -1.8, (lo[0], lo[1]), (hi[0], hi[1])),
+    ]
+    for _ in range(n_boxes):
+        k = int(rng.integers(len(traj)))
+        side = rng.choice([-1.0, 1.0])
+        offset = rng.uniform(*lateral) * side
+        heading = traj[k, :2, 0]                    # forward axis in world
+        normal = np.array([-heading[1], heading[0]])
+        c = xy[k] + normal * offset + rng.uniform(-10, 10, size=2)
+        w, d, h = rng.uniform(1.5, 8.0, size=3)
+        _add_box(world, float(c[0]), float(c[1]), w, d, min(h, 4.0))
+    return world
+
+
+def cull_world(world: List[PlaneSegment], origin: np.ndarray,
+               max_range: float) -> List[PlaneSegment]:
+    """Segments whose bounding sphere intersects the sensor range ball.
+
+    Ray casting is O(rays x segments); a trajectory-following world for an
+    800 m drive has ~10k segments of which only a few hundred are within
+    sensor range of any one pose — culling makes long-sequence generation
+    ~10x faster with identical output (a culled segment cannot produce a
+    hit within max_range)."""
+    keep = []
+    for seg in world:
+        lo = np.asarray(seg.lo, np.float64)
+        hi = np.asarray(seg.hi, np.float64)
+        other = [i for i in range(3) if i != seg.axis]
+        center = np.zeros(3)
+        center[seg.axis] = seg.offset
+        center[other[0]] = (lo[0] + hi[0]) / 2
+        center[other[1]] = (lo[1] + hi[1]) / 2
+        radius = float(np.linalg.norm(hi - lo)) / 2
+        if np.linalg.norm(center - origin) <= max_range + radius:
+            keep.append(seg)
+    return keep
+
+
 def simulate_scan(
     world: List[PlaneSegment],
     pose: np.ndarray,                 # [4, 4] sensor -> world
@@ -83,6 +148,9 @@ def simulate_scan(
 ) -> np.ndarray:
     """-> [M, 3] hit points in the SENSOR frame."""
     rng = rng or np.random.default_rng(0)
+    if len(world) > 512:
+        world = cull_world(world, np.asarray(pose[:3, 3], np.float64),
+                           max_range)
     elev = np.deg2rad(np.linspace(v_fov[0], v_fov[1], rings))
     azim = np.linspace(-np.pi, np.pi, azimuth_steps, endpoint=False)
     E, A = np.meshgrid(elev, azim, indexing="ij")
@@ -129,9 +197,21 @@ def write_kitti_layout(
     Pose files use the KITTI convention (camera/world frame — the lidar
     poses conjugated by the fixed lidar->world permutation, matching what
     utils/poses.compute_poses produces for evaluation).
+
+    Trajectories longer than ~150 m get a trajectory-following world
+    (:func:`make_world_along`, ~2.5 boxes per drive-meter) so the >= 800 m
+    KITTI-segment-metric experiments keep geometry in sensor range
+    everywhere; short sequences keep the original fixed world for
+    reproducibility with earlier rounds.
     """
-    world = make_world(seed=seed)
     traj = forward_trajectory(n_scans, step=step)
+    drive_m = step * (n_scans - 1)
+    if drive_m > 150.0:
+        world = make_world_along(
+            traj, n_boxes=max(200, int(drive_m * 2.5)), seed=seed
+        )
+    else:
+        world = make_world(seed=seed)
     rng = np.random.default_rng(seed + 1)
 
     seq_dir = os.path.join(out_dir, "sequences", f"{sequence:02d}", "velodyne")

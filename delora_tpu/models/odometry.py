@@ -46,6 +46,7 @@ class ModelConfig(NamedTuple):
     quaternion_normalization: str = "per_row"   # "per_row" | "global"
     compute_dtype: Any = jnp.float32
     in_channels_per_image: int = 4
+    remat: bool = False     # rematerialize ResNet blocks (pod configs)
 
     @classmethod
     def from_config(cls, config):
@@ -62,6 +63,7 @@ class ModelConfig(NamedTuple):
             use_single_mlp=bool(config["use_single_mlp_at_output"]),
             quaternion_normalization=str(config["quaternion_normalization"]),
             compute_dtype=dtype,
+            remat=bool(config.get("remat", False)),
         )
 
 
@@ -135,6 +137,7 @@ class OdometryModel(nn.Module):
             activation=cfg.activation,
             use_dropout=cfg.use_dropout,
             compute_dtype=cfg.compute_dtype,
+            remat=cfg.remat,
         )(x.astype(cfg.compute_dtype), deterministic=deterministic)
         feat = features[-1]
 

@@ -128,6 +128,7 @@ class CircularResNet(nn.Module):
     activation: str = "tanh"
     use_dropout: bool = False
     compute_dtype: Any = jnp.float32
+    remat: bool = False                   # rematerialize each BasicBlock
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True) -> List[jnp.ndarray]:
@@ -143,19 +144,39 @@ class CircularResNet(nn.Module):
                      compute_dtype=self.compute_dtype)(x)
         x = act(x)
         x = pad_circular_w(x, pad_w=1, pad_h=1, height_value=-jnp.inf)
-        x = nn.max_pool(x, window_shape=(3, 3), strides=(1, 2), padding="VALID")
+        # Separable max pool (max is separable: max over a 3x3 window ==
+        # max over rows of max over columns). Identical values to the fused
+        # 3x3 reduce-window, but on TPU the 2D window lowered to ~0.4 ms of
+        # reduce-window + 0.38 ms of select-and-scatter backward at KITTI
+        # B=8 (docs/BENCH_NOTES.md r17 trace); the two 1D passes are
+        # substantially cheaper in both directions.
+        x = nn.max_pool(x, window_shape=(3, 1), strides=(1, 1), padding="VALID")
+        x = nn.max_pool(x, window_shape=(1, 3), strides=(1, 2), padding="VALID")
+
+        # Large-batch (pod) configs: rematerialize block interiors in the
+        # backward pass so only block BOUNDARY activations are stored —
+        # XLA-measured at KITTI 64x720 this cuts the step's per-device temp
+        # memory several-fold for ~1 extra forward of FLOPs
+        # (docs/POD_BUDGET.md). Identical outputs and gradients.
+        # Explicit names keep the param tree identical with remat on or off
+        # (nn.remat's auto-name would be "remat(CheckpointBasicBlock_k)",
+        # breaking checkpoint compatibility between the two modes).
+        Block = nn.remat(BasicBlock) if self.remat else BasicBlock
 
         features = []
+        block_idx = 0
         for stage, (width, strides, blocks) in enumerate(
             zip(widths, stage_strides, self.blocks_per_stage)
         ):
             for block in range(blocks):
-                x = BasicBlock(
+                x = Block(
                     width,
                     strides=strides if block == 0 else (1, 1),
                     activation=self.activation,
                     compute_dtype=self.compute_dtype,
+                    name=f"BasicBlock_{block_idx}",
                 )(x)
+                block_idx += 1
             if stage == 2 and self.use_dropout:
                 # dropout_channels after layer3 (resnet_modified.py:110).
                 x = nn.Dropout(0.2, deterministic=deterministic,

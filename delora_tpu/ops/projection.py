@@ -250,6 +250,7 @@ def project_image_packed(
     values: jnp.ndarray = None,
     tile: int = 1024, smax: int = 3072,
     return_overflow: bool = False,
+    append_range: bool = True,
 ) -> jnp.ndarray:
     """Image-only projection: ONE packed-key fat sort + windowed one-hot
     matmul placement — the warped-source fast path of the image-space matcher
@@ -301,8 +302,9 @@ def project_image_packed(
     INSTEAD of the coordinates — pixel/range keys still come from ``points``.
     Lets the train step project warped positions while storing the points'
     ORIGINAL coordinates, so the differentiable warp can be re-applied
-    per-pixel afterwards and no gather sits on the gradient path. The
-    appended range channel is always the range of ``points``.
+    per-pixel afterwards and no gather sits on the gradient path. With
+    ``append_range`` (default) a channel holding the range of ``points`` is
+    appended; pass False when the caller carries its own occupancy channel.
     """
     N = points.shape[0]
     H, W = spec.height, spec.width
@@ -319,9 +321,9 @@ def project_image_packed(
     key = (pix.astype(jnp.uint32) << 16) | (r_bits >> 16)
     key = jnp.where(in_fov, key, jnp.uint32(num_pix) << 16)
 
-    feat = jnp.concatenate(
-        [points if values is None else values, r[:, None]], axis=-1
-    )
+    feat = points if values is None else values
+    if append_range:
+        feat = jnp.concatenate([feat, r[:, None]], axis=-1)
     C = feat.shape[-1]
     smax = min(smax, N)
 
@@ -509,6 +511,7 @@ def project_image_packed_batch(
     tile: int = 1024, smax: int = 3072,
     backend: str = "auto",
     return_overflow: bool = False,
+    append_range: bool = True,
 ) -> jnp.ndarray:
     """Batched :func:`project_image_packed` ``[B, N, .] -> [B, H, W, C]``.
 
@@ -531,7 +534,7 @@ def project_image_packed_batch(
         return jax.vmap(
             lambda p, v, m: project_image_packed(
                 p, m, spec, values=v, tile=tile, smax=smax,
-                return_overflow=return_overflow,
+                return_overflow=return_overflow, append_range=append_range,
             )
         )(points, points if values is None else values, valid)
 
@@ -550,7 +553,9 @@ def project_image_packed_batch(
             )
             key = (pix.astype(jnp.uint32) << 16) | (r_bits >> 16)
             key = jnp.where(in_fov, key, jnp.uint32(num_pix) << 16)
-            feat = jnp.concatenate([vals_or_pts, r[:, None]], axis=-1)
+            feat = vals_or_pts
+            if append_range:
+                feat = jnp.concatenate([feat, r[:, None]], axis=-1)
             ops = (key,) + tuple(feat[:, c] for c in range(feat.shape[-1]))
             sorted_ops = jax.lax.sort(ops, num_keys=1)
             sorted_key = sorted_ops[0]

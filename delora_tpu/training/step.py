@@ -241,7 +241,15 @@ def _loss_tail(
         # docs/BENCH_NOTES.md r9; the reference likewise detaches the
         # correspondence search, icp_losses.py:64-67).
         pos_sel = se3.transform_points(jax.lax.stop_gradient(T), pts_c)
-        vals = jnp.concatenate([pts_c, nrm_c], axis=-1)         # [B, cap, 6]
+        # Payload: original xyz + normal + a constant-1 occupancy channel
+        # (exact in the bf16-split placement). The occupancy channel doubles
+        # as the HOMOGENEOUS coordinate of the per-pixel warp below, so the
+        # translation applies only at occupied pixels and empty pixels stay
+        # exactly zero — replacing the old slice/reshape/where/two-dot chain
+        # (0.47 ms of channel-slice copies at KITTI B=8, BENCH_NOTES r17).
+        vals = jnp.concatenate(
+            [pts_c, nrm_c, jnp.ones_like(pts_c[..., :1])], axis=-1
+        )                                                       # [B, cap, 7]
         # Image-only packed-key projection (one sort) at train resolutions;
         # project_scan if H*W exceeds the 16-bit pixel-key budget.
         if cfg.proj.height * cfg.proj.width < (1 << 16):
@@ -252,21 +260,29 @@ def _loss_tail(
             wimage, n_overflow = project_image_packed_batch(
                 pos_sel, src_valid, cfg.proj, values=vals,
                 backend=cfg.placement_backend, return_overflow=True,
+                append_range=False,
             )
             placement_overflow = jnp.sum(n_overflow).astype(jnp.float32)
         else:
             wimage = jax.vmap(
-                lambda pv, m: project_scan(pv, m, cfg.proj).image[..., 3:]
+                lambda pv, m: project_scan(pv, m, cfg.proj).image[..., 3:10]
             )(jnp.concatenate([pos_sel, vals], axis=-1), src_valid)
-        # wimage [B, H, W, 7]: original xyz, original normal, warped range.
+        # wimage [B, H, W, 7]: original xyz, original normal, occupancy 1/0.
+        # One per-pixel affine consumes the WHOLE image (no channel-slice
+        # copies feeding separate dots): rows [x, n, o] map to
+        # [x@R^T + o*t, n@R^T, o].
+        B = wimage.shape[0]
+        R = T[:, :3, :3]
+        A = jnp.zeros((B, 7, 7), T.dtype)
+        A = A.at[:, 0:3, 0:3].set(R)
+        A = A.at[:, 3:6, 3:6].set(R)
+        A = A.at[:, 0:3, 6].set(T[:, :3, 3])
+        A = A.at[:, 6, 6].set(1.0)
+        s_all = jnp.einsum("bhwc,bdc->bhwd", wimage, A)
         HW = cfg.proj.height * cfg.proj.width
-        x0 = wimage[..., 0:3].reshape(-1, HW, 3)
-        n0 = wimage[..., 3:6].reshape(-1, HW, 3)
-        s_occ = wimage[..., 6].reshape(-1, HW) > 0.0
-        s_xyz = jnp.where(
-            s_occ[..., None], se3.transform_points(T, x0), 0.0
-        )
-        s_nrm = se3.rotate_points(T, n0)                         # 0 stays 0
+        s_xyz = s_all[..., 0:3].reshape(B, HW, 3)
+        s_nrm = s_all[..., 3:6].reshape(B, HW, 3)
+        s_occ = wimage[..., 6].reshape(B, HW) > 0.5
         corr = image_space_correspondence_batch(
             s_xyz, s_occ, image_1, target_normal_image,
             cfg.proj, cfg.window, backend=cfg.matcher_backend,

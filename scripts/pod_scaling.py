@@ -171,6 +171,193 @@ def run_recipe(n_devices: int = 8) -> dict:
     return out
 
 
+def run_full_recipe(n_devices: int = 8, exec_global_batch: int = 64) -> dict:
+    """FULL-size pod-recipe evidence (VERDICT r2 item 4), three parts:
+
+    (a) AOT-compile the sharded fullcached train step of the FULL-size model
+        (ModelConfig() defaults, bf16 compute) at KITTI 64x720 / cap 46080
+        and GLOBAL BATCH 4096 on the n-device mesh, via ShapeDtypeStruct
+        lowering (no 13 GB batch materialization), and report XLA's own
+        per-device memory analysis of the compiled partitioned program.
+    (b) EXECUTE one step of the same full-size program at a reduced global
+        batch (default 64 — the 2-core CPU host would take hours at 4096;
+        per-device HBM at 512 pairs/device is measured on the real chip
+        instead, docs/POD_BUDGET.md).
+    (c) Print the analytic per-device v4-32 HBM budget at 512 pairs/device.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from delora_tpu.losses.icp import IcpLossConfig
+    from delora_tpu.models.odometry import ModelConfig, OdometryModel
+    from delora_tpu.ops.projection import ProjectionSpec
+    from delora_tpu.ops.projection_host import scan_artifacts_np
+    from delora_tpu.parallel.mesh import make_mesh
+    from delora_tpu.parallel.pjit_step import (
+        batch_sharding,
+        make_sharded_train_step_fullcached,
+        replicate_state,
+        replicated_sharding,
+        shard_batch,
+    )
+    from delora_tpu.training.state import create_train_state, param_count
+    from delora_tpu.training.step import FullyCachedBatch, StepConfig
+
+    H, W = 64, 720
+    cap = H * W
+    GB = 4096
+    devices = jax.devices()[:n_devices]
+    mesh = make_mesh(devices)
+    repl = replicated_sharding(mesh)
+    shard = batch_sharding(mesh)
+
+    model = OdometryModel(ModelConfig(compute_dtype=jnp.bfloat16))
+    model_remat = OdometryModel(
+        ModelConfig(compute_dtype=jnp.bfloat16, remat=True)
+    )
+    pspec = ProjectionSpec(
+        height=H, width=W,
+        fov_down=float(np.deg2rad(-24.5)), fov_up=float(np.deg2rad(2.0)),
+        fov_left=float(np.deg2rad(-179.9)), fov_right=float(np.deg2rad(179.9)),
+    )
+    cfg = StepConfig(proj=pspec, icp=IcpLossConfig())
+    state = create_train_state(
+        model, {"learning_rate": 1e-5, "lr_scaling": "linear",
+                "lr_scaling_base_batch": 32},
+        jnp.zeros((8, H, W, 4)),
+    )
+    n_params = param_count(state)
+    step = make_sharded_train_step_fullcached(model, cfg, mesh, donate=False)
+
+    # (a) AOT compile at global batch 4096 via shape-only lowering.
+    s_state = replicate_state(state, mesh)
+    state_shapes = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=repl),
+        s_state,
+    )
+    f32 = jnp.float32
+    bshape = lambda *s, dt=f32: jax.ShapeDtypeStruct(s, dt, sharding=shard)
+    batch_shapes = FullyCachedBatch(
+        image_1=bshape(GB, H, W, 4),
+        normal_image_1=bshape(GB, H, W, 3),
+        mean_range_1=bshape(GB),
+        image_2=bshape(GB, H, W, 4),
+        src_points=bshape(GB, cap, 3),
+        src_normals=bshape(GB, cap, 3),
+        src_valid=bshape(GB, cap, dt=jnp.bool_),
+        mean_range_2=bshape(GB),
+    )
+    rng_shape = jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=repl)
+    t0 = time.time()
+    compiled = step.lower(state_shapes, batch_shapes, rng_shape).compile()
+    compile_s = time.time() - t0
+    ma = compiled.memory_analysis()
+    per_device = {
+        "argument_bytes": int(ma.argument_size_in_bytes),
+        "output_bytes": int(ma.output_size_in_bytes),
+        "temp_bytes": int(ma.temp_size_in_bytes),
+        "alias_bytes": int(ma.alias_size_in_bytes),
+    }
+
+    # Same analysis with per-block rematerialization (the pod preset's
+    # `remat: true`): only block-boundary activations are stored. The step
+    # applies ``state.apply_fn``, so swap in the remat model's apply.
+    step_r = make_sharded_train_step_fullcached(
+        model_remat, cfg, mesh, donate=False
+    )
+    state_shapes_r = state_shapes.replace(apply_fn=model_remat.apply)
+    ma_r = step_r.lower(
+        state_shapes_r, batch_shapes, rng_shape
+    ).compile().memory_analysis()
+    per_device_remat = {
+        "argument_bytes": int(ma_r.argument_size_in_bytes),
+        "output_bytes": int(ma_r.output_size_in_bytes),
+        "temp_bytes": int(ma_r.temp_size_in_bytes),
+        "alias_bytes": int(ma_r.alias_size_in_bytes),
+    }
+
+    # (b) Execute ONE full-size step at a small global batch.
+    rng = np.random.default_rng(0)
+    pool = []
+    for _ in range(4):
+        pts = rng.normal(size=(cap, 3)).astype(np.float32) * np.array(
+            [12, 12, 1.0], np.float32) - np.array([0, 0, 1.6], np.float32)
+        nrm = rng.normal(size=(cap, 3)).astype(np.float32)
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+        pool.append(scan_artifacts_np(pts, nrm, np.ones(cap, bool), pspec))
+    eb = exec_global_batch
+    idx = [i % len(pool) for i in range(eb)]
+    a1 = [pool[i] for i in idx]
+    a2 = [pool[(i + 1) % len(pool)] for i in idx]
+    ebatch = FullyCachedBatch(
+        image_1=np.stack([a.image for a in a1]),
+        normal_image_1=np.stack([a.normal_image for a in a1]),
+        mean_range_1=np.asarray([a.mean_range for a in a1], np.float32),
+        image_2=np.stack([a.image for a in a2]),
+        src_points=np.stack([a.src_points for a in a2]),
+        src_normals=np.stack([a.src_normals for a in a2]),
+        src_valid=np.stack([a.src_valid for a in a2]),
+        mean_range_2=np.asarray([a.mean_range for a in a2], np.float32),
+    )
+    t0 = time.time()
+    _, metrics = step(s_state, shard_batch(ebatch, mesh), jax.random.PRNGKey(0))
+    loss = float(metrics["loss"])
+    exec_s = time.time() - t0
+    assert np.isfinite(loss), loss
+
+    # (c) Analytic v4-32 per-device budget at 512 pairs/device (bf16
+    # activations; full table with derivations in docs/POD_BUDGET.md).
+    P = n_params
+    pd = 512
+    act_elems_per_pair = (
+        64 * 360 * 64      # stem conv out
+        + 64 * 180 * 64    # maxpool out
+        + 4 * 64 * 180 * 64     # stage1: 2 blocks x 2 conv outs
+        + 4 * 64 * 90 * 128     # stage2
+        + 4 * 64 * 45 * 256     # stage3
+        + 4 * 32 * 23 * 512     # stage4
+    )
+    budget = {
+        "params_f32_mb": round(P * 4 / 2**20, 1),
+        "adam_m_v_f32_mb": round(2 * P * 4 / 2**20, 1),
+        "grads_f32_mb": round(P * 4 / 2**20, 1),
+        "batch_slice_512_gb": round(
+            pd * (2 * H * W * 4 + H * W * 3 + 2 * cap * 3 + 2) * 4 / 2**30, 2
+        ),
+        "activations_bf16_512_gb": round(
+            pd * act_elems_per_pair * 2 / 2**30, 2
+        ),
+        "projection_sort_workspace_gb": round(
+            pd * cap * 8 * 4 * 2 / 2**30, 2
+        ),
+    }
+
+    out = {
+        "mode": "full_recipe",
+        "model_params": n_params,
+        "global_batch_compiled": GB,
+        "devices": len(devices),
+        "backend": devices[0].platform,
+        "compile_s": round(compile_s, 1),
+        "xla_per_device_memory": per_device,
+        "xla_per_device_total_gb": round(
+            sum(per_device.values()) / 2**30, 2
+        ),
+        "xla_per_device_memory_remat": per_device_remat,
+        "xla_per_device_total_gb_remat": round(
+            sum(per_device_remat.values()) / 2**30, 2
+        ),
+        "exec_global_batch": eb,
+        "exec_loss": loss,
+        "exec_first_step_s": round(exec_s, 1),
+        "v4_32_budget_at_512_per_device": budget,
+        "ok": True,
+    }
+    print(json.dumps(out))
+    return out
+
+
 def run_sweep(per_device_batch: int = 8, steps: int = 5) -> list:
     import jax
     import jax.numpy as jnp
@@ -230,6 +417,11 @@ def run_sweep(per_device_batch: int = 8, steps: int = 5) -> list:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--recipe", action="store_true")
+    ap.add_argument("--full", action="store_true",
+                    help="FULL-size model at 64x720: AOT compile at global "
+                         "batch 4096 + XLA memory analysis + one executed "
+                         "step (VERDICT r2 item 4)")
+    ap.add_argument("--exec-global-batch", type=int, default=64)
     ap.add_argument("--sweep", action="store_true")
     ap.add_argument("--per-device-batch", type=int, default=8)
     ap.add_argument(
@@ -239,7 +431,7 @@ def main():
              "'default' keeps the process backend (e.g. the real TPU chip).",
     )
     args = ap.parse_args()
-    if not (args.recipe or args.sweep):
+    if not (args.recipe or args.sweep or args.full):
         args.recipe = args.sweep = True
     if args.backend == "cpu":
         flags = os.environ.get("XLA_FLAGS", "")
@@ -252,6 +444,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if args.recipe:
         run_recipe()
+    if args.full:
+        run_full_recipe(exec_global_batch=args.exec_global_batch)
     if args.sweep:
         run_sweep(args.per_device_batch)
 

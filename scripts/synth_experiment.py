@@ -22,6 +22,9 @@ def main():
     ap.add_argument("workdir", nargs="?", default="/tmp/delora_synth")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--scans", type=int, default=60)
+    ap.add_argument("--step", type=float, default=0.8,
+                    help="drive meters per scan (scans*step = trajectory "
+                         "length; >=800 m engages the KITTI segment metric)")
     ap.add_argument("--rings", type=int, default=32)
     ap.add_argument("--azimuth", type=int, default=900)
     ap.add_argument("--batch-size", type=int, default=8)
@@ -51,7 +54,8 @@ def main():
     if not os.path.exists(os.path.join(raw, "sequences", "00")):
         print("[synth] generating world + scans ...")
         write_kitti_layout(raw, sequence=0, n_scans=args.scans,
-                           rings=args.rings, azimuth_steps=args.azimuth)
+                           rings=args.rings, azimuth_steps=args.azimuth,
+                           step=args.step)
 
     overrides = {
         "datasets": ["kitti"],

@@ -100,3 +100,32 @@ def test_dropout_determinism_flag():
     t3, _ = model.apply(params, img, img, deterministic=False,
                         rngs={"dropout": jax.random.PRNGKey(7)})
     assert not np.allclose(np.asarray(t1), np.asarray(t3))
+
+
+def test_remat_model_matches_non_remat():
+    """remat=True (pod configs) is a pure memory/FLOPs tradeoff: outputs and
+    gradients are identical to the non-remat model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from delora_tpu.models.odometry import ModelConfig, OdometryModel
+
+    kw = dict(resnet_outputs=32, blocks_per_stage=(1, 1, 1, 1),
+              channel_divisor=16)
+    m0 = OdometryModel(ModelConfig(**kw))
+    m1 = OdometryModel(ModelConfig(remat=True, **kw))
+    rng = np.random.default_rng(5)
+    img1 = jnp.asarray(rng.normal(size=(2, 16, 64, 4)).astype(np.float32))
+    img2 = jnp.asarray(rng.normal(size=(2, 16, 64, 4)).astype(np.float32))
+    params = m0.init(jax.random.PRNGKey(0), img1, img2)
+
+    def loss(model, p):
+        t, q = model.apply(p, img1, img2)
+        return jnp.sum(t ** 2) + jnp.sum(q ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(params)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
