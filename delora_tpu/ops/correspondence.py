@@ -250,6 +250,7 @@ def image_space_correspondence_batch(
     spec: ProjectionSpec,
     window: Tuple[int, int] = (5, 9),
     backend: str = "auto",
+    src_planes_all: jnp.ndarray = None,   # optional [B, >=3, H, W], xyz at 0:3
 ) -> Correspondence:
     """Batched :func:`image_space_correspondence_core`.
 
@@ -287,9 +288,19 @@ def image_space_correspondence_batch(
         )                                                     # [B, H, W, 7]
         tgt_pad = jnp.pad(tgt, ((0, 0), (a, a), (0, 0), (0, 0)))
         tgt_planes = jnp.transpose(tgt_pad, (0, 3, 1, 2))     # [B, 7, H+2a, W]
-        src_planes = jnp.transpose(
-            jax.lax.stop_gradient(src_xyz).reshape(B, H, W, 3), (0, 3, 1, 2)
-        )
+        if src_planes_all is not None:
+            # Caller already holds channel-major planes with xyz in 0:3
+            # (the train step's fused affine). Pass them WHOLE: the kernel's
+            # BlockSpec reads planes 0:3 only, so there is no slice operand
+            # for XLA to stage in VMEM (a sliced operand at KITTI B=8 was
+            # 17.7 MB of scoped VMEM — over the 16 MB budget) and no
+            # minor-dim strided copy either.
+            src_planes = jax.lax.stop_gradient(src_planes_all)
+        else:
+            src_planes = jnp.transpose(
+                jax.lax.stop_gradient(src_xyz).reshape(B, H, W, 3),
+                (0, 3, 1, 2),
+            )
 
         best_sq, best_xyz, best_nrm = window_match_pallas(
             src_planes, tgt_planes, wv=wv, wu=wu, interpret=interpret,
@@ -306,9 +317,13 @@ def image_space_correspondence_batch(
         return Correspondence(tgt_pts, tgt_nrm, valid, sq_out)
 
     if backend == "auto":
-        from delora_tpu.ops.pallas.window_match import fits_vmem
+        from delora_tpu.ops.pallas.window_match import (
+            fits_vmem, tile_width_for,
+        )
 
-        if not fits_vmem(spec.height, spec.width, window[0]):
+        if not fits_vmem(spec.height, spec.width, window[0]) and (
+            tile_width_for(spec.height, spec.width, window[0], window[1]) == 0
+        ):
             return _xla()
         # Resolved at LOWERING time per target platform: only the branch for
         # the platform being compiled is lowered (the pallas kernel never

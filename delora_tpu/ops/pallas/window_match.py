@@ -26,39 +26,64 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _match_kernel(src_ref, tgt_ref, sq_ref, xyz_ref, nrm_ref, *,
-                  H: int, W: int, wv: int, wu: int):
-    """src_ref: [1, 3, H, W] detached warped source xyz planes.
-    tgt_ref: [1, 7, H + wv - 1, W] vertically-padded target planes
-             (x, y, z, nx, ny, nz, occupancy).
-    Outputs: best sq [1, H, W], best xyz / normal [1, 3, H, W]."""
+def _match_body(src, tgt_full, *, H: int, wv: int, wu: int, halo: int):
+    """Shared inner loop: src [3, H, WT]; tgt_full [7, Hp, WT + 2*halo]
+    (halo = 0 on the untiled full-width path, where the horizontal shift
+    wraps — global azimuth wrap; halo = wu//2 on the W-tiled path, where the
+    wrap columns are materialized in the halo). Returns (sq, xyz, nrm)."""
     bu = wu // 2
     Hp = H + wv - 1
-    src = src_ref[0]                                      # [3, H, W]
-    tgt_full = tgt_ref[0]                                 # [7, Hp, W]
+    WT = src.shape[-1]
+    Wh = tgt_full.shape[-1]
 
-    best_sq = jnp.full((H, W), jnp.inf, jnp.float32)
-    best_xyz = jnp.zeros((3, H, W), jnp.float32)
-    best_nrm = jnp.zeros((3, H, W), jnp.float32)
+    best_sq = jnp.full((H, WT), jnp.inf, jnp.float32)
+    best_xyz = jnp.zeros((3, H, WT), jnp.float32)
+    best_nrm = jnp.zeros((3, H, WT), jnp.float32)
 
     # Both window loops are STATIC (K = wv*wu vector-op bodies): Mosaic
     # requires 8-aligned sublane slice starts, so the vertical offset is a
     # sublane ROLL + aligned [0:H] slice instead of a dynamic slice.
     for dv in range(wv):
-        slab = pltpu.roll(tgt_full, (-dv) % Hp, axis=1)[:, :H, :]  # [7, H, W]
+        slab = pltpu.roll(tgt_full, (-dv) % Hp, axis=1)[:, :H, :]
         for du in range(-bu, bu + 1):
-            cand = pltpu.roll(slab, (-du) % W, axis=2)    # shift must be >= 0
+            # cand[j] = slab[j + du + halo]; shift must be >= 0.
+            cand = pltpu.roll(slab, (-(du + halo)) % Wh, axis=2)[:, :, :WT]
             d = cand[0:3] - src
-            sq = jnp.sum(d * d, axis=0)                   # [H, W]
+            sq = jnp.sum(d * d, axis=0)                   # [H, WT]
             sq = jnp.where(cand[6] > 0.5, sq, jnp.inf)
             better = sq < best_sq
             best_sq = jnp.where(better, sq, best_sq)
             best_xyz = jnp.where(better[None], cand[0:3], best_xyz)
             best_nrm = jnp.where(better[None], cand[3:6], best_nrm)
+    return best_sq, best_xyz, best_nrm
 
-    sq_ref[0] = best_sq
-    xyz_ref[0] = best_xyz
-    nrm_ref[0] = best_nrm
+
+def _match_kernel(src_ref, tgt_ref, sq_ref, xyz_ref, nrm_ref, *,
+                  H: int, W: int, wv: int, wu: int):
+    """src_ref: [1, 3, H, W] detached warped source xyz planes.
+    tgt_ref: [1, 7, H + wv - 1, W] vertically-padded target planes
+    (x, y, z, nx, ny, nz, occupancy).
+    Outputs: best sq [1, H, W], best xyz / normal [1, 3, H, W]."""
+    sq, xyz, nrm = _match_body(
+        src_ref[0], tgt_ref[0], H=H, wv=wv, wu=wu, halo=0
+    )
+    sq_ref[0] = sq
+    xyz_ref[0] = xyz
+    nrm_ref[0] = nrm
+
+
+def _match_kernel_tiled(src_ref, tgt_ref, sq_ref, xyz_ref, nrm_ref, *,
+                        H: int, wv: int, wu: int):
+    """W-tiled variant: src_ref [1, 3, H, wt] (a W tile of the source),
+    tgt_ref [1, 1, 7, Hp, wt + 2*(wu//2)] (the tile's haloed target slab,
+    pre-materialized with the global azimuth wrap baked into the halo).
+    Same winners as the full-width kernel."""
+    sq, xyz, nrm = _match_body(
+        src_ref[0], tgt_ref[0, 0], H=H, wv=wv, wu=wu, halo=wu // 2
+    )
+    sq_ref[0] = sq
+    xyz_ref[0] = xyz
+    nrm_ref[0] = nrm
 
 
 # XLA's scoped-VMEM stack budget the chunking must respect (the compile
@@ -66,24 +91,52 @@ def _match_kernel(src_ref, tgt_ref, sq_ref, xyz_ref, nrm_ref, *,
 _VMEM_BUDGET = 16 * 1024 * 1024
 
 
-def _row_bytes(H: int, W: int, wv: int) -> tuple:
-    """Per-batch-row VMEM bytes: (operands, outputs) of one grid step."""
+def _row_bytes(H: int, W: int, wv: int, wu: int = 9, wt: int = None) -> tuple:
+    """Per-batch-row VMEM bytes: (operands, outputs) of one grid step.
+
+    With ``wt`` (a W tile), the target block carries a 2*(wu//2)-column halo.
+    """
     Hp = H + wv - 1
-    ops = (3 * H * W + 7 * Hp * W) * 4            # src + padded tgt planes
-    outs = 7 * H * W * 4                          # best sq + xyz + normal
+    if wt is None:
+        wt = W
+        halo = 0
+    else:
+        halo = 2 * (wu // 2)
+    ops = (3 * H * wt + 7 * Hp * (wt + halo)) * 4  # src + padded tgt planes
+    outs = 7 * H * wt * 4                          # best sq + xyz + normal
     return ops, outs
 
 
 def fits_vmem(H: int, W: int, wv: int) -> bool:
-    """Whether ONE batch row's double-buffered blocks fit the scoped budget.
+    """Whether ONE batch row's UNTILED double-buffered blocks fit the budget.
 
     Measured on a v5e: (64, 720, 5) fits (6.4 MB); the 2250-wide
     preprocessing shape does not (20 MB — the kernel fails to compile even
-    at B=1). Callers should take the XLA matcher when this is False;
-    ``image_space_correspondence_batch(backend="auto")`` does so.
+    at B=1). Shapes that fail this get the W-TILED kernel when a suitable
+    tile exists (:func:`tile_width_for`); ``window_match_pallas`` picks
+    automatically.
     """
     ops, outs = _row_bytes(H, W, wv)
     return 2 * (ops + outs) <= _VMEM_BUDGET
+
+
+def tile_width_for(H: int, W: int, wv: int, wu: int) -> int:
+    """Largest 128-multiple tile width whose haloed blocks fit the budget.
+
+    Mosaic requires the block's lane dimension be a multiple of 128 (or the
+    full array dim), so tiles are 128-multiples and W is PADDED up to a
+    whole number of tiles (padding columns carry occupancy 0 — never
+    matched — and are sliced off the outputs). Returns 0 only if even a
+    128-wide tile does not fit (no practical shape).
+    """
+    best = 0
+    for wt in range(128, W + 127, 128):
+        ops, outs = _row_bytes(H, W, wv, wu, wt)
+        if 2 * (ops + outs) <= _VMEM_BUDGET:
+            best = wt
+        else:
+            break
+    return best
 
 
 def max_batch_for_shape(H: int, W: int, wv: int) -> int:
@@ -104,7 +157,7 @@ def max_batch_for_shape(H: int, W: int, wv: int) -> int:
     jax.jit, static_argnames=("wv", "wu", "interpret", "max_batch")
 )
 def window_match_pallas(
-    src_planes: jnp.ndarray,    # [B, 3, H, W] detached warped source xyz
+    src_planes: jnp.ndarray,    # [B, >=3, H, W] detached warped source; xyz at planes 0:3 (extra planes are never read — the BlockSpec loads 0:3 only)
     tgt_planes: jnp.ndarray,    # [B, 7, H + wv - 1, W] padded target planes
     *,
     wv: int,
@@ -125,16 +178,27 @@ def window_match_pallas(
     call's VMEM footprint live at a time. The kernel itself is unchanged
     (its per-grid-step footprint was never the problem).
     """
-    B, _, H, W = src_planes.shape
+    B, C, H, W = src_planes.shape
+    assert C >= 3, src_planes.shape
     Hp = H + wv - 1
     assert tgt_planes.shape == (B, 7, Hp, W), tgt_planes.shape
-    if not interpret and not fits_vmem(H, W, wv):
-        raise ValueError(
-            f"window_match_pallas: one ({H}, {W}) row at wv={wv} needs "
-            f"{2 * sum(_row_bytes(H, W, wv)) / 2**20:.1f} MB of VMEM blocks "
-            f"(budget {_VMEM_BUDGET / 2**20:.0f} MB) — use the XLA matcher "
-            "for this shape (backend='xla', or 'auto' which checks this)"
-        )
+    if not fits_vmem(H, W, wv):
+        # Full-width blocks blow the scoped-VMEM budget (the 2250-wide
+        # preprocessing resolution): W-tile the grid with a haloed target
+        # slab per tile. Same winners (the halo materializes the azimuth
+        # wrap the full-width kernel gets from its roll).
+        wt = tile_width_for(H, W, wv, wu)
+        if wt == 0 and not interpret:
+            raise ValueError(
+                f"window_match_pallas: no W tile of ({H}, {W}) fits the "
+                f"{_VMEM_BUDGET / 2**20:.0f} MB VMEM budget at wv={wv} — "
+                "use the XLA matcher (backend='xla')"
+            )
+        if wt and wt < W:  # noqa: E501
+            return _window_match_tiled(
+                src_planes, tgt_planes, wv=wv, wu=wu, wt=wt,
+                interpret=interpret,
+            )
     if max_batch is None:
         max_batch = max_batch_for_shape(H, W, wv)
     if B > max_batch:
@@ -153,7 +217,7 @@ def window_match_pallas(
                 interpret=interpret, max_batch=chunk,
             ),
             (
-                srcp.reshape(nb, chunk, 3, H, W),
+                srcp.reshape(nb, chunk, C, H, W),
                 tgtp.reshape(nb, chunk, 7, Hp, W),
             ),
         )
@@ -162,7 +226,7 @@ def window_match_pallas(
         )
 
     kernel = functools.partial(_match_kernel, H=H, W=W, wv=wv, wu=wu)
-    return pl.pallas_call(
+    return pl.pallas_call(  # noqa: E501  (untiled path)
         kernel,
         grid=(B,),
         in_specs=[
@@ -186,3 +250,65 @@ def window_match_pallas(
         ],
         interpret=interpret,
     )(src_planes, tgt_planes)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wv", "wu", "wt", "interpret")
+)
+def _window_match_tiled(
+    src_planes: jnp.ndarray,    # [B, 3, H, W]
+    tgt_planes: jnp.ndarray,    # [B, 7, H + wv - 1, W]
+    *,
+    wv: int,
+    wu: int,
+    wt: int,
+    interpret: bool = False,
+):
+    """W-tiled window matcher: grid (B, W//wt); per-tile target slabs carry
+    a wu//2-column halo with the global azimuth wrap baked in, so winners
+    are identical to the full-width kernel. Source tiles and outputs come
+    straight from BlockSpec W-indexing (no copies); only the haloed target
+    tiles array is materialized (~(1 + 2*(wu//2)/wt)x the target bytes)."""
+    B, C, H, W = src_planes.shape
+    Hp = H + wv - 1
+    bu = wu // 2
+    T = -(-W // wt)
+    Wp = T * wt          # W padded up to whole tiles (Mosaic needs 128-lane
+    pad_w = Wp - W       # multiples); padding columns have occupancy 0.
+
+    src_p = jnp.pad(src_planes, ((0, 0),) * 3 + ((0, pad_w),))
+    halo = jnp.concatenate(
+        [tgt_planes[..., W - bu:], tgt_planes, tgt_planes[..., :bu]], axis=-1
+    )                                                     # [B, 7, Hp, W+2bu]
+    halo = jnp.pad(halo, ((0, 0),) * 3 + ((0, Wp - W),))  # zeros: occ 0
+    tiles = jnp.stack(
+        [halo[..., t * wt: t * wt + wt + 2 * bu] for t in range(T)], axis=1
+    )                                                     # [B, T, 7, Hp, wt+2bu]
+
+    kernel = functools.partial(_match_kernel_tiled, H=H, wv=wv, wu=wu)
+    sq, xyz, nrm = pl.pallas_call(
+        kernel,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec((1, 3, H, wt), lambda b, t: (b, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 7, Hp, wt + 2 * bu),
+                         lambda b, t: (b, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, wt), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, H, wt), lambda b, t: (b, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, H, wt), lambda b, t: (b, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, H, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, H, Wp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(src_p, tiles)
+    return sq[..., :W], xyz[..., :W], nrm[..., :W]

@@ -278,7 +278,13 @@ def _loss_tail(
         A = A.at[:, 3:6, 3:6].set(R)
         A = A.at[:, 0:3, 6].set(T[:, :3, 3])
         A = A.at[:, 6, 6].set(1.0)
-        s_all = jnp.einsum("bhwc,bdc->bhwd", wimage, A)
+        # (Emitting channel-major planes straight out of this dot and
+        # feeding them to the matcher kernel whole was tried — r17 — and
+        # makes XLA stage the pallas operands/outputs in scoped VMEM,
+        # 17.7 MB > the 16 MB budget; with the budget raised via
+        # xla_tpu_scoped_vmem_limit_kib it compiles but measures identical.
+        # The channels-last form needs no compiler options.)
+        s_all = jnp.einsum("bhwc,bdc->bhwd", wimage, A)         # [B, H, W, 7]
         HW = cfg.proj.height * cfg.proj.width
         s_xyz = s_all[..., 0:3].reshape(B, HW, 3)
         s_nrm = s_all[..., 3:6].reshape(B, HW, 3)

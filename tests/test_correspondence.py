@@ -127,15 +127,17 @@ def test_window_match_vmem_guard():
     assert fits_vmem(64, 720, 5)
     assert max_batch_for_shape(64, 720, 5) == 8
     # The 2250-wide preprocessing shape does not fit one row (measured on a
-    # v5e: compile fails even at B=1).
+    # v5e: compile fails even at B=1) — it now takes the W-TILED kernel.
     assert not fits_vmem(64, 2250, 5)
+    from delora_tpu.ops.pallas.window_match import tile_width_for
+
+    wt = tile_width_for(64, 2250, 5, 9)
+    # Mosaic wants 128-multiple lane blocks; W is padded up to whole tiles.
+    assert wt > 0 and wt % 128 == 0 and wt < 2250, wt
+    # Non-128-divisible widths tile too (padding columns never match).
+    assert tile_width_for(64, 2251, 5, 9) % 128 == 0
     # Intermediate shape: max_batch scales down with the footprint.
     assert 1 <= max_batch_for_shape(64, 1440, 5) <= 4
-
-    src = jnp.zeros((1, 3, 64, 2250), jnp.float32)
-    tgt = jnp.zeros((1, 7, 68, 2250), jnp.float32)
-    with pytest.raises(ValueError, match="XLA matcher"):
-        window_match_pallas(src, tgt, wv=5, wu=9, interpret=False)
 
     # 'auto' at the oversized shape silently takes the XLA core (runs fine
     # on any backend) — exercised at a reduced width for test speed.
@@ -154,3 +156,32 @@ def test_window_match_vmem_guard():
         img, nimg, wide, (5, 9), backend="auto",
     )
     assert corr.valid.shape == (2, HW)
+
+
+def test_window_match_tiled_matches_untiled():
+    """The W-tiled kernel (VERDICT r2 item 10: the 2250-wide preprocessing
+    shape) selects identical winners to the full-width kernel — the haloed
+    per-tile target slab bakes in the azimuth wrap the full-width roll
+    provides. Interpret mode on CPU; real-chip parity is measured in
+    docs/BENCH_NOTES.md."""
+    from delora_tpu.ops.pallas.window_match import (
+        _window_match_tiled, window_match_pallas,
+    )
+
+    rng = np.random.default_rng(31)
+    B, H, W, wv, wu = 2, 8, 64, 5, 9
+    Hp = H + wv - 1
+    src = jnp.asarray(rng.normal(size=(B, 3, H, W)).astype(np.float32) * 4)
+    tgt = jnp.asarray(rng.normal(size=(B, 7, Hp, W)).astype(np.float32) * 4)
+    # Occupancy plane in {0, 1} with gaps.
+    tgt = tgt.at[:, 6].set(
+        (rng.random((B, Hp, W)) > 0.3).astype(np.float32)
+    )
+
+    ref = window_match_pallas(src, tgt, wv=wv, wu=wu, interpret=True)
+    for wt in (16, 24, 32):   # 24 exercises the W-padding path (64 % 24 != 0)
+        out = _window_match_tiled(
+            src, tgt, wv=wv, wu=wu, wt=wt, interpret=True
+        )
+        for a, b in zip(ref, out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
