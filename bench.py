@@ -34,6 +34,7 @@ sync again.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -82,6 +83,10 @@ def main():
     H, W = 64, 720
     N = 131072          # KITTI max_points (config datasets.yaml)
     VALID = 110000      # typical surviving points per preprocessed KITTI scan
+    if os.environ.get("BENCH_SMOKE"):
+        # Tiny shapes for a CPU correctness pass over every bench section
+        # (numbers are meaningless; used by CI/verification only).
+        H, W, N, VALID = 16, 64, 4096, 3000
 
     log(f"devices: {jax.devices()}")
     log(f"bench config: B={B} H={H} W={W} N={N} valid={VALID}")
@@ -151,11 +156,79 @@ def main():
         state, metrics = fstep(state, fbatch, jax.random.PRNGKey(200 + k))
     sync(metrics["loss"])
     elapsed = time.time() - t0
-    pairs_per_sec = K * B / elapsed
-    log(f"headline (fullcached+image): {K} steps x {B} pairs in {elapsed:.2f}s"
-        f" -> {pairs_per_sec:.2f} pairs/s ({elapsed / K * 1000:.1f} ms/step)")
+    single_pps = K * B / elapsed
+    log(f"single-dispatch (fullcached+image): {K} steps x {B} pairs in "
+        f"{elapsed:.2f}s -> {single_pps:.2f} pairs/s "
+        f"({elapsed / K * 1000:.1f} ms/step)")
 
-    extra = {}
+    extra = {"single_dispatch_pairs_per_sec": round(single_pps, 3)}
+
+    # ---- HEADLINE: K steps per dispatch — the trainer's HBM-resident
+    # default (trainer._scan_steps_fn, steps_per_dispatch=8): lax.scan over
+    # the fullcached step with ON-DEVICE batch gather from stacked scan
+    # tables, amortizing the ~1.6 ms per-dispatch relay gap
+    # (docs/ROOFLINE.md) to 1.6/K ms per step.
+    from delora_tpu.training.step import (
+        loss_and_metrics_fullcached,
+        optax_global_norm,
+    )
+
+    KS = 8
+    allarts = arts1 + arts2
+    tables = (
+        jnp.asarray(np.stack([a.image for a in allarts])),
+        jnp.asarray(np.stack([a.normal_image for a in allarts])),
+        jnp.asarray(np.asarray([a.mean_range for a in allarts], np.float32)),
+        jnp.asarray(np.stack([a.src_points for a in allarts])),
+        jnp.asarray(np.stack([a.src_normals for a in allarts])),
+        jnp.asarray(np.stack([a.src_valid for a in allarts])),
+    )
+    ti = np.tile(np.arange(B, dtype=np.int32), (KS, 1))
+    si = ti + B
+
+    def multi(state, rng0, tables, ti, si):
+        img, nimg, mr, pts, nrm, val = tables
+
+        def body(carry, xs):
+            state, rng = carry
+            t, s = xs
+            rng, srng = jax.random.split(rng)
+            b = FullyCachedBatch(
+                img[t], nimg[t], mr[t],
+                img[s], pts[s], nrm[s], val[s], mr[s],
+            )
+            grad_fn = jax.value_and_grad(
+                lambda p: loss_and_metrics_fullcached(
+                    state.apply_fn, p, b, cfg, srng
+                ),
+                has_aux=True,
+            )
+            (loss, (m, _)), grads = grad_fn(state.params)
+            new_state = state.apply_gradients(grads=grads)
+            m["grad_norm"] = optax_global_norm(grads)
+            return (new_state, rng), m
+
+        (state, rng), ms = jax.lax.scan(body, (state, rng0), (ti, si))
+        return state, rng, ms
+
+    mfn = jax.jit(multi, donate_argnums=(0, 1))
+    t0 = time.time()
+    state, mrng, ms = mfn(state, jax.random.PRNGKey(4), tables, ti, si)
+    state, mrng, ms = mfn(state, mrng, tables, ti, si)
+    sync(ms["loss"])
+    log(f"headline compile+warmup (K={KS}/dispatch): {time.time() - t0:.1f}s;"
+        f" loss={float(ms['loss'][-1]):.5f}")
+    ND = max(3, K // KS)
+    t0 = time.time()
+    for _ in range(ND):
+        state, mrng, ms = mfn(state, mrng, tables, ti, si)
+    sync(ms["loss"])
+    elapsed = time.time() - t0
+    pairs_per_sec = ND * KS * B / elapsed
+    log(f"headline (fullcached+image, {KS} steps/dispatch): {ND} dispatches"
+        f" x {KS} steps x {B} pairs in {elapsed:.2f}s -> "
+        f"{pairs_per_sec:.2f} pairs/s "
+        f"({elapsed / (ND * KS) * 1000:.2f} ms/step)")
 
     # ---- MFU accounting (VERDICT r2 item 1): FLOPs/step from XLA's cost
     # analysis of the compiled headline program, achieved TFLOP/s, and MFU
@@ -173,7 +246,7 @@ def main():
         peak = float(
             __import__("os").environ.get("BENCH_PEAK_TFLOPS", 197.0)
         ) * 1e12
-        step_s = elapsed / K
+        step_s = elapsed / (ND * KS)
         achieved = flops / step_s
         extra["flops_per_step"] = flops
         extra["achieved_tflops"] = round(achieved / 1e12, 3)

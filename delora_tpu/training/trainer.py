@@ -125,6 +125,12 @@ class Trainer:
         # budget is ~9 GB of a v5e's 16 GB HBM).
         self.device_cached = False
         self._device_scans: Dict[str, list] = {}
+        # Stacked form (single-process, no mesh): one [S_total, ...] device
+        # array per artifact leaf + numpy pair->flat-scan index maps, so the
+        # K-steps-per-dispatch scan program can gather batches ON DEVICE
+        # (no per-step host argument traffic at all).
+        self._device_tables: Dict[str, list] = {}
+        self._pair_flat_idx: Dict[str, tuple] = {}
         budget = int(config.get("hbm_cache_scans", 3072))
         # Multi-host feeds assemble global arrays from process-local NUMPY
         # shards (make_array_from_process_local_data) — device-resident
@@ -137,15 +143,41 @@ class Trainer:
             if total <= budget:
                 t0 = time.time()
                 for name, ds in self.pair_datasets.items():
-                    self._device_scans[name] = [
-                        [
-                            jax.device_put(jax.tree.leaves(
-                                tuple(ds._scan_artifacts(si, k))
-                            ))
-                            for k in range(len(scans))
+                    if self.mesh is None:
+                        # Flatten (seq, scan) -> flat row; stack each of the
+                        # 6 artifact leaves over all scans once.
+                        flat_of = {}
+                        leaves = None
+                        for si, scans in enumerate(ds.scan_files):
+                            for k in range(len(scans)):
+                                row = jax.tree.leaves(
+                                    tuple(ds._scan_artifacts(si, k))
+                                )
+                                if leaves is None:
+                                    leaves = [[] for _ in row]
+                                flat_of[(si, k)] = len(flat_of)
+                                for slot, leaf in zip(leaves, row):
+                                    slot.append(np.asarray(leaf))
+                        self._device_tables[name] = [
+                            jax.device_put(np.stack(slot)) for slot in leaves
                         ]
-                        for si, scans in enumerate(ds.scan_files)
-                    ]
+                        self._pair_flat_idx[name] = (
+                            np.asarray([flat_of[p] for p in ds.pairs],
+                                       dtype=np.int32),
+                            np.asarray([flat_of[(si, k + 1)]
+                                        for si, k in ds.pairs],
+                                       dtype=np.int32),
+                        )
+                    else:
+                        self._device_scans[name] = [
+                            [
+                                jax.device_put(jax.tree.leaves(
+                                    tuple(ds._scan_artifacts(si, k))
+                                ))
+                                for k in range(len(scans))
+                            ]
+                            for si, scans in enumerate(ds.scan_files)
+                        ]
                 self.device_cached = True
                 print(f"[trainer] {total} scans resident in device memory "
                       f"({time.time() - t0:.1f}s one-time transfer)")
@@ -226,33 +258,55 @@ class Trainer:
         groups = [flat[i * B:(i + 1) * B] for i in range(8)]
         return FullyCachedBatch(*[jnp.stack(g) for g in groups])
 
-    def _fused_step_fn(self, dataset: str):
-        """One jitted program = batch stacking + the train step: a single
-        dispatch per step (dispatch round trips dominate on relayed TPUs)."""
-        key = (dataset, self.supervised, "fused")
+    def _scan_steps_fn(self, dataset: str, k_steps: int):
+        """K optimizer steps per dispatch: ``lax.scan`` over the fullcached
+        step with ON-DEVICE batch gather from the stacked HBM tables.
+
+        On a relayed TPU each dispatch costs ~1.6 ms of round-trip gap on
+        top of the ~10.4 ms device step (docs/ROOFLINE.md); scanning K steps
+        inside one program amortizes that gap to 1.6/K ms per step. RNG
+        semantics are identical to the per-step path (the carried key is
+        split once per step, exactly as the host loop does).
+        """
+        key = (dataset, self.supervised, "scan", k_steps)
         if key not in self._steps:
             from delora_tpu.training.step import (
-                StepConfig, loss_and_metrics_fullcached, optax_global_norm,
+                FullyCachedBatch, StepConfig, loss_and_metrics_fullcached,
+                optax_global_norm,
             )
 
             cfg = StepConfig.from_config(
                 self.config, dataset, supervised=self.supervised
             )
 
-            def step(state, rng, *flat):
-                batch = self._stack_batch(list(flat))
-                grad_fn = jax.value_and_grad(
-                    lambda p: loss_and_metrics_fullcached(
-                        state.apply_fn, p, batch, cfg, rng
-                    ),
-                    has_aux=True,
-                )
-                (loss, (metrics, _)), grads = grad_fn(state.params)
-                new_state = state.apply_gradients(grads=grads)
-                metrics["grad_norm"] = optax_global_norm(grads)
-                return new_state, metrics
+            def steps(state, rng, tables, tgt_idx, src_idx):
+                img, nimg, mr, pts, nrm, val = tables
 
-            self._steps[key] = jax.jit(step, donate_argnums=(0,))
+                def body(carry, xs):
+                    state, rng = carry
+                    ti, si = xs
+                    rng, step_rng = jax.random.split(rng)
+                    batch = FullyCachedBatch(
+                        img[ti], nimg[ti], mr[ti],
+                        img[si], pts[si], nrm[si], val[si], mr[si],
+                    )
+                    grad_fn = jax.value_and_grad(
+                        lambda p: loss_and_metrics_fullcached(
+                            state.apply_fn, p, batch, cfg, step_rng
+                        ),
+                        has_aux=True,
+                    )
+                    (loss, (metrics, _)), grads = grad_fn(state.params)
+                    new_state = state.apply_gradients(grads=grads)
+                    metrics["grad_norm"] = optax_global_norm(grads)
+                    return (new_state, rng), metrics
+
+                (state, rng), metrics = jax.lax.scan(
+                    body, (state, rng), (tgt_idx, src_idx), length=k_steps
+                )
+                return state, rng, metrics
+
+            self._steps[key] = jax.jit(steps, donate_argnums=(0, 1))
         return self._steps[key]
 
     def log_images(self, epoch: int, dataset: str):
@@ -417,18 +471,25 @@ class Trainer:
 
             loader = self.loaders[dataset]
             if self.device_cached and self.mesh is None:
-                # HBM-resident path: everything already on device; ONE
-                # dispatch per step (stack fused into the jitted step).
-                fused = self._fused_step_fn(dataset)
+                # HBM-resident path: batches gathered on device from the
+                # stacked tables; K optimizer steps per dispatch (lax.scan)
+                # so the per-dispatch round-trip gap is amortized. The
+                # remainder chunk compiles one extra (smaller-K) program.
+                K = max(1, int(self.config.get("steps_per_dispatch", 8)))
                 indices = loader.epoch_indices(epoch)
                 lb = loader.local_batch
-                for b in range(len(indices) // lb):
-                    flat = self._device_batch_args(
-                        dataset, indices[b * lb:(b + 1) * lb]
+                nsteps = len(indices) // lb
+                tgt_all, src_all = self._pair_flat_idx[dataset]
+                sel = np.asarray(indices[: nsteps * lb]).reshape(nsteps, lb)
+                ti, si = tgt_all[sel], src_all[sel]
+                tables = self._device_tables[dataset]
+                for c in range(0, nsteps, K):
+                    k = min(K, nsteps - c)
+                    fn = self._scan_steps_fn(dataset, k)
+                    self.state, rng, metrics = fn(
+                        self.state, rng, tables, ti[c:c + k], si[c:c + k]
                     )
-                    rng, step_rng = jax.random.split(rng)
-                    self.state, metrics = fused(self.state, step_rng, *flat)
-                    per_step.append(metrics)
+                    per_step.append(metrics)  # dict of [k]-vectors
                 continue
             if self.device_cached:
                 # Mesh path: stack on device, then shard into the step.
@@ -453,15 +514,18 @@ class Trainer:
                     run_one(pending.popleft())
             while pending:
                 run_one(pending.popleft())
-        count = len(per_step)
-        if count == 0:
+        if not per_step:
             raise RuntimeError("No batches produced — dataset smaller than batch?")
         # ONE device->host readback for all metrics (each synchronous
         # readback costs a full round trip, which dominates short epochs).
+        # Entries are scalar dicts (per-step paths) or [k]-vector dicts
+        # (K-steps-per-dispatch path); both flatten to rows here.
         keys = list(per_step[0])
-        mat = np.asarray(jnp.stack(
-            [jnp.stack([m[k] for k in keys]) for m in per_step]
-        ))
+        mat = np.asarray(jnp.concatenate([
+            jnp.stack([jnp.atleast_1d(m[k]) for k in keys], axis=-1)
+            for m in per_step
+        ], axis=0))
+        count = mat.shape[0]
         out = {k: float(mat[:, i].mean()) for i, k in enumerate(keys)}
         out["steps"] = count
         out["epoch_seconds"] = time.time() - t0

@@ -36,6 +36,11 @@ def main():
                     help="override correspondence search mode")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (quality comparisons)")
+    ap.add_argument("--augment", action="store_true",
+                    help="random point-cloud rotation augmentation (the "
+                         "paper's regularizer against projective-ICP "
+                         "sliding; reference hyperparameters.yaml "
+                         "random_point_cloud_rotations)")
     args = ap.parse_args()
 
     from delora_tpu.config import load_config
@@ -78,6 +83,8 @@ def main():
     }
     if args.correspondence:
         overrides["correspondence"] = args.correspondence
+    if args.augment:
+        overrides["random_point_cloud_rotations"] = True
     if args.small:
         overrides.update({"resnet_outputs": 128, "layers": [1, 1, 1, 1],
                           "factor_fewer_resnet_channels": 4})
