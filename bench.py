@@ -218,7 +218,7 @@ def main():
     sync(ms["loss"])
     log(f"headline compile+warmup (K={KS}/dispatch): {time.time() - t0:.1f}s;"
         f" loss={float(ms['loss'][-1]):.5f}")
-    ND = max(3, K // KS)
+    ND = max(5, K // KS)    # >=40 steps so the timing window is ~0.5s+
     t0 = time.time()
     for _ in range(ND):
         state, mrng, ms = mfn(state, mrng, tables, ti, si)
