@@ -76,6 +76,11 @@ class StepConfig(NamedTuple):
     use_pallas_nn: bool = False
     matcher_backend: str = "auto"             # "auto" | "xla" | "pallas"
     placement_backend: str = "auto"           # "auto" | "xla" | "pallas"
+    # Eval mode: dropout OFF in the loss forward pass. The reference disables
+    # dropout at test time (reference bin/run_testing.py:69-71); the Tester
+    # sets this so test-time losses are deterministic even with
+    # ``use_dropout: true``.
+    deterministic: bool = False
 
     @classmethod
     def from_config(cls, config, dataset: str, *, supervised: bool):
@@ -213,7 +218,8 @@ def _loss_tail(
     compacted source point set (however they were produced)."""
     T = forward_pose(
         apply_fn, params, image_1, image_2,
-        deterministic=False, rngs={"dropout": drop_rng},
+        deterministic=cfg.deterministic,
+        rngs=None if cfg.deterministic else {"dropout": drop_rng},
     )
 
     # Warp source points / rotate source normals by the predicted transform

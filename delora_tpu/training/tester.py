@@ -224,7 +224,11 @@ class Tester:
         from delora_tpu.training.step import loss_and_metrics
 
         ds = self._dataset(dataset)
-        cfg = StepConfig.from_config(self.config, dataset, supervised=False)
+        # deterministic=True: dropout off at test time (reference
+        # bin/run_testing.py:69-71) so evaluated losses are not stochastic.
+        cfg = StepConfig.from_config(
+            self.config, dataset, supervised=False
+        )._replace(deterministic=True)
         fn = jax.jit(
             lambda params, batch, rng: loss_and_metrics(
                 self.model.apply, params, batch, cfg, rng

@@ -186,3 +186,30 @@ def test_image_correspondence_gradients_flow():
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss_pc"]))
     assert float(metrics["grad_norm"]) > 0.0
+
+
+def test_eval_deterministic_disables_dropout():
+    """cfg.deterministic=True turns dropout OFF in the loss forward pass
+    (reference bin/run_testing.py:69-71 disables dropout at test time):
+    losses become rng-independent, while the training path (deterministic
+    False) stays rng-dependent with use_dropout on. Tester.evaluate_losses
+    builds its StepConfig with deterministic=True (asserted below)."""
+    batch, _ = synthetic_batch()
+    model, state = make_model_and_state(use_dropout=True)
+    base = StepConfig(proj=PSPEC, icp=IcpLossConfig(), correspondence="image")
+
+    def loss_with(cfg, seed):
+        val, _ = loss_and_metrics(
+            model.apply, state.params, batch, cfg, jax.random.PRNGKey(seed)
+        )
+        return float(val)
+
+    det = base._replace(deterministic=True)
+    assert loss_with(det, 0) == loss_with(det, 1)
+    # Training path: dropout active -> rng changes the loss.
+    assert loss_with(base, 0) != loss_with(base, 1)
+
+    # The Tester wires deterministic=True into its loss evaluation.
+    import delora_tpu.training.tester as tester_mod
+
+    assert "_replace(deterministic=True)" in open(tester_mod.__file__).read()
