@@ -166,8 +166,8 @@ def main():
     # ---- HEADLINE: K steps per dispatch — the trainer's HBM-resident
     # default (trainer._scan_steps_fn, steps_per_dispatch=8): lax.scan over
     # the fullcached step with ON-DEVICE batch gather from stacked scan
-    # tables, amortizing the ~1.6 ms per-dispatch relay gap
-    # (docs/ROOFLINE.md) to 1.6/K ms per step.
+    # tables, amortizing the per-dispatch relay gap (measured ~1.0-1.6 ms
+    # depending on session — docs/ROOFLINE.md) to gap/K ms per step.
     from delora_tpu.training.step import (
         loss_and_metrics_fullcached,
         optax_global_norm,

@@ -99,6 +99,7 @@ class Trainer:
                 shuffle=True, seed=int(config.get("seed", 0)),
                 num_shards=num_shards, shard_index=jax.process_index(),
                 feed=self.feed,
+                native=config.get("native_io", "auto"),
             )
             for name, ds in self.pair_datasets.items()
         }
@@ -117,73 +118,77 @@ class Trainer:
                       f"{time.time() - t0:.1f}s ({n_threads} threads)")
 
         # HBM-resident dataset: the per-scan artifacts are epoch-invariant,
-        # so when this host's shard fits the budget they are pushed to device
-        # memory ONCE and batches are assembled on device — zero steady-state
-        # host->device traffic (the device-side analog of the reference's
-        # store_dataset_in_RAM, reference src/data/dataset.py:82-112; a
-        # KITTI-scale scan's artifacts are ~3 MB, so the default 3072-scan
-        # budget is ~9 GB of a v5e's 16 GB HBM).
+        # so when they fit the budget they are pushed to device memory ONCE
+        # as stacked [S_total, ...] tables and batches are assembled on
+        # device — zero steady-state host->device traffic (the device-side
+        # analog of the reference's store_dataset_in_RAM, reference
+        # src/data/dataset.py:82-112; a KITTI-scale scan's artifacts are
+        # ~3 MB, so the default 3072-scan budget is ~9 GB of a v5e's 16 GB
+        # HBM). Under a MESH the tables shard their scan axis over the data
+        # axis (parallel/pjit_step.shard_stacked_tables), so capacity scales
+        # with device count: hbm_cache_scans is a PER-DEVICE budget, and the
+        # v4-32 pod recipe holds all of KITTI at ~2.2 GB/chip. Multi-process
+        # runs work too — every process computes the same global permutation
+        # (shared seed) and runs the same SPMD program.
         self.device_cached = False
-        self._device_scans: Dict[str, list] = {}
-        # Stacked form (single-process, no mesh): one [S_total, ...] device
-        # array per artifact leaf + numpy pair->flat-scan index maps, so the
-        # K-steps-per-dispatch scan program can gather batches ON DEVICE
-        # (no per-step host argument traffic at all).
         self._device_tables: Dict[str, list] = {}
         self._pair_flat_idx: Dict[str, tuple] = {}
         budget = int(config.get("hbm_cache_scans", 3072))
-        # Multi-host feeds assemble global arrays from process-local NUMPY
-        # shards (make_array_from_process_local_data) — device-resident
-        # caching applies to single-process runs.
-        if self.feed == "full" and budget > 0 and jax.process_count() == 1:
+        n_mesh_devices = (
+            int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+            if self.mesh is not None else 1
+        )
+        can_cache = jax.process_count() == 1 or self.mesh is not None
+        if self.feed == "full" and budget > 0 and can_cache:
             total = sum(
                 sum(len(s) for s in ds.scan_files)
                 for ds in self.pair_datasets.values()
             )
-            if total <= budget:
+            if total <= budget * n_mesh_devices:
                 t0 = time.time()
                 for name, ds in self.pair_datasets.items():
+                    # Flatten (seq, scan) -> flat row; stack each of the
+                    # 6 artifact leaves over all scans once.
+                    flat_of = {}
+                    leaves = None
+                    for si, scans in enumerate(ds.scan_files):
+                        for k in range(len(scans)):
+                            row = jax.tree.leaves(
+                                tuple(ds._scan_artifacts(si, k))
+                            )
+                            if leaves is None:
+                                leaves = [[] for _ in row]
+                            flat_of[(si, k)] = len(flat_of)
+                            for slot, leaf in zip(leaves, row):
+                                slot.append(np.asarray(leaf))
+                    np_leaves = [np.stack(slot) for slot in leaves]
                     if self.mesh is None:
-                        # Flatten (seq, scan) -> flat row; stack each of the
-                        # 6 artifact leaves over all scans once.
-                        flat_of = {}
-                        leaves = None
-                        for si, scans in enumerate(ds.scan_files):
-                            for k in range(len(scans)):
-                                row = jax.tree.leaves(
-                                    tuple(ds._scan_artifacts(si, k))
-                                )
-                                if leaves is None:
-                                    leaves = [[] for _ in row]
-                                flat_of[(si, k)] = len(flat_of)
-                                for slot, leaf in zip(leaves, row):
-                                    slot.append(np.asarray(leaf))
                         self._device_tables[name] = [
-                            jax.device_put(np.stack(slot)) for slot in leaves
+                            jax.device_put(leaf) for leaf in np_leaves
                         ]
-                        self._pair_flat_idx[name] = (
-                            np.asarray([flat_of[p] for p in ds.pairs],
-                                       dtype=np.int32),
-                            np.asarray([flat_of[(si, k + 1)]
-                                        for si, k in ds.pairs],
-                                       dtype=np.int32),
-                        )
                     else:
-                        self._device_scans[name] = [
-                            [
-                                jax.device_put(jax.tree.leaves(
-                                    tuple(ds._scan_artifacts(si, k))
-                                ))
-                                for k in range(len(scans))
-                            ]
-                            for si, scans in enumerate(ds.scan_files)
-                        ]
+                        from delora_tpu.parallel.pjit_step import (
+                            shard_stacked_tables,
+                        )
+
+                        self._device_tables[name] = shard_stacked_tables(
+                            np_leaves, self.mesh
+                        )
+                    self._pair_flat_idx[name] = (
+                        np.asarray([flat_of[p] for p in ds.pairs],
+                                   dtype=np.int32),
+                        np.asarray([flat_of[(si, k + 1)]
+                                    for si, k in ds.pairs],
+                                   dtype=np.int32),
+                    )
                 self.device_cached = True
                 print(f"[trainer] {total} scans resident in device memory "
-                      f"({time.time() - t0:.1f}s one-time transfer)")
+                      f"({time.time() - t0:.1f}s one-time transfer; "
+                      f"{n_mesh_devices} device shard(s))")
             else:
                 print(f"[trainer] dataset ({total} scans) exceeds "
-                      f"hbm_cache_scans={budget}; streaming from host")
+                      f"hbm_cache_scans={budget} x {n_mesh_devices} devices; "
+                      f"streaming from host")
 
         # Checkpointing + metrics
         self.ckpt = CheckpointManager(
@@ -229,42 +234,15 @@ class Trainer:
 
         self._steps: Dict[tuple, callable] = {}
         self._viz_fns: Dict[str, callable] = {}
-        self._stack_fn = None
-
-    def _device_batch_args(self, dataset: str, sel):
-        """Flat per-scan device arrays for one batch, in FullyCachedBatch
-        field order (each field contributing B consecutive arrays)."""
-        ds = self.pair_datasets[dataset]
-        scans = self._device_scans[dataset]
-        tgt, src = [], []
-        for i in sel:
-            si, k = ds.pairs[int(i)]
-            tgt.append(scans[si][k])
-            src.append(scans[si][k + 1])
-        # ScanArtifacts leaf order: image, normal_image, mean_range,
-        # src_points, src_normals, src_valid.
-        groups = (
-            [t[0] for t in tgt], [t[1] for t in tgt], [t[2] for t in tgt],
-            [s[0] for s in src], [s[3] for s in src], [s[4] for s in src],
-            [s[5] for s in src], [s[2] for s in src],
-        )
-        return [x for g in groups for x in g]
-
-    @staticmethod
-    def _stack_batch(flat):
-        from delora_tpu.training.step import FullyCachedBatch
-
-        B = len(flat) // 8
-        groups = [flat[i * B:(i + 1) * B] for i in range(8)]
-        return FullyCachedBatch(*[jnp.stack(g) for g in groups])
 
     def _scan_steps_fn(self, dataset: str, k_steps: int):
         """K optimizer steps per dispatch: ``lax.scan`` over the fullcached
         step with ON-DEVICE batch gather from the stacked HBM tables.
 
-        On a relayed TPU each dispatch costs ~1.6 ms of round-trip gap on
-        top of the ~10.4 ms device step (docs/ROOFLINE.md); scanning K steps
-        inside one program amortizes that gap to 1.6/K ms per step. RNG
+        On a relayed TPU each dispatch costs ~1.0-1.6 ms of round-trip gap
+        (the gap itself varies by session — docs/ROOFLINE.md) on top of the
+        ~10.4 ms device step; scanning K steps inside one program amortizes
+        that gap to gap/K ms per step. RNG
         semantics are identical to the per-step path (the carried key is
         split once per step, exactly as the host loop does).
         """
@@ -278,6 +256,16 @@ class Trainer:
             cfg = StepConfig.from_config(
                 self.config, dataset, supervised=self.supervised
             )
+
+            if self.mesh is not None:
+                from delora_tpu.parallel.pjit_step import (
+                    make_sharded_scan_steps,
+                )
+
+                self._steps[key] = make_sharded_scan_steps(
+                    self.model, cfg, self.mesh, k_steps
+                )
+                return self._steps[key]
 
             def steps(state, rng, tables, tgt_idx, src_idx):
                 img, nimg, mr, pts, nrm, val = tables
@@ -470,17 +458,20 @@ class Trainer:
                 per_step.append(metrics)
 
             loader = self.loaders[dataset]
-            if self.device_cached and self.mesh is None:
-                # HBM-resident path: batches gathered on device from the
-                # stacked tables; K optimizer steps per dispatch (lax.scan)
-                # so the per-dispatch round-trip gap is amortized. The
-                # remainder chunk compiles one extra (smaller-K) program.
+            if self.device_cached:
+                # HBM-resident path (mesh or not): batches gathered on device
+                # from the stacked tables; K optimizer steps per dispatch
+                # (lax.scan) so the per-dispatch round-trip gap is amortized.
+                # The remainder chunk compiles one extra (smaller-K) program.
+                # Indices are the GLOBAL permutation — identical on every
+                # process (shared seed), so multi-process mesh runs execute
+                # one SPMD program with no host-side batch slicing at all.
                 K = max(1, int(self.config.get("steps_per_dispatch", 8)))
-                indices = loader.epoch_indices(epoch)
-                lb = loader.local_batch
-                nsteps = len(indices) // lb
+                indices = loader.global_epoch_indices(epoch)
+                gb = loader.global_batch
+                nsteps = len(indices) // gb
                 tgt_all, src_all = self._pair_flat_idx[dataset]
-                sel = np.asarray(indices[: nsteps * lb]).reshape(nsteps, lb)
+                sel = np.asarray(indices[: nsteps * gb]).reshape(nsteps, gb)
                 ti, si = tgt_all[sel], src_all[sel]
                 tables = self._device_tables[dataset]
                 for c in range(0, nsteps, K):
@@ -491,22 +482,7 @@ class Trainer:
                     )
                     per_step.append(metrics)  # dict of [k]-vectors
                 continue
-            if self.device_cached:
-                # Mesh path: stack on device, then shard into the step.
-                indices = loader.epoch_indices(epoch)
-                lb = loader.local_batch
-                if self._stack_fn is None:
-                    self._stack_fn = jax.jit(
-                        lambda *flat: self._stack_batch(list(flat))
-                    )
-                batches = (
-                    self._stack_fn(*self._device_batch_args(
-                        dataset, indices[b * lb:(b + 1) * lb]
-                    ))
-                    for b in range(len(indices) // lb)
-                )
-            else:
-                batches = loader.epoch(epoch)
+            batches = loader.epoch(epoch)
             step = self._step_fn(dataset)
             for batch in batches:
                 pending.append(self._shard_batch(batch))  # async device copy
@@ -567,7 +543,10 @@ class Trainer:
                 and self.config.get("visualize_images", True)
                 and epoch % viz_every == 0
             ):
-                self.log_images(epoch, self.datasets[0])
+                # Per configured dataset, reference parity (the reference logs
+                # one image grid per dataset, deployer.py:91-100).
+                for ds_name in self.datasets:
+                    self.log_images(epoch, ds_name)
 
             # Warmup auto-switch (trainer.py:184-186).
             if self.supervised and metrics["loss"] < 1e-2:

@@ -17,7 +17,10 @@ from tests.test_e2e import e2e_config, synthesize_kitti_sequence
 @pytest.fixture(scope="module")
 def world(tmp_path_factory):
     tmp_path = tmp_path_factory.mktemp("scan_steps")
-    synthesize_kitti_sequence(str(tmp_path / "raw"), n_scans=8)
+    # 12 scans -> 11 pairs -> 5 steps at batch 2 (epoch_indices drops to a
+    # multiple of the batch), so K=4 runs one FULL K=4 chunk plus a k=1
+    # remainder chunk — both compiled programs are exercised.
+    synthesize_kitti_sequence(str(tmp_path / "raw"), n_scans=12)
     from delora_tpu.data.preprocess import Preprocessor
 
     Preprocessor(e2e_config(tmp_path)).run_dataset("kitti", progress=False)
@@ -43,9 +46,10 @@ def _train(world, k, seed=0):
 
 
 def test_k_steps_match_per_step_dispatch(world):
-    """steps_per_dispatch=4 reproduces the K=1 trajectory (7 steps with
-    batch 2 over 7 pairs -> one full K=4 chunk + one K=3 remainder chunk,
-    so the remainder program is exercised too)."""
+    """steps_per_dispatch=4 reproduces the K=1 trajectory (5 steps with
+    batch 2 over 11 pairs -> one full K=4 chunk + one k=1 remainder chunk,
+    so the full-chunk and remainder programs are both exercised, and RNG
+    threading across the chunk boundary is covered)."""
     import jax
 
     p1, s1 = _train(world, 1)
@@ -60,6 +64,6 @@ def test_k_steps_match_per_step_dispatch(world):
 def test_epoch_metrics_rows_match_step_count(world):
     """The mixed scalar/vector metric aggregation counts every real step."""
     _, stats = _train(world, 3, seed=1)
-    # 7 pairs, batch 2 -> 3 steps: one K=3 chunk exactly.
-    assert stats["steps"] == 3
+    # 11 pairs, batch 2 -> 5 steps: one K=3 chunk + one k=2 remainder.
+    assert stats["steps"] == 5
     assert np.isfinite(stats["loss"])
