@@ -251,11 +251,14 @@ class BatchLoader:
         shard_index: int = 0,
         prefetch: int = 2,
         feed: str = "raw",
+        native: object = "auto",
     ):
         if batch_size % num_shards != 0:
             raise ValueError("batch_size must divide evenly across hosts")
         if feed not in ("raw", "cached", "full"):
             raise ValueError(f"unknown feed mode {feed!r}")
+        if native not in ("auto", True, False):
+            raise ValueError(f"native must be 'auto'/True/False, got {native!r}")
         self.dataset = dataset
         self.feed = feed
         self.global_batch = batch_size
@@ -266,8 +269,21 @@ class BatchLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.prefetch = prefetch
+        # Raw-feed batches via the C++ threaded pair batcher
+        # (native/delora_io.cpp, the GIL-free counterpart of the reference's
+        # DataLoader workers — reference src/deploy/trainer.py:95-101):
+        # "auto" engages it for disk-bound raw feeds (RAM cache off) when the
+        # library is built; True forces it; False keeps the Python producer.
+        self.native = native
+        self._native_loader = None
+        self._pair_first_flat = None
 
-    def epoch_indices(self, epoch: int) -> np.ndarray:
+    def global_epoch_indices(self, epoch: int) -> np.ndarray:
+        """The FULL epoch permutation (truncated to a multiple of the global
+        batch) — identical on every process by construction (shared seed).
+        The mesh table path feeds these to every process's copy of the
+        sharded scan-steps program: the global batch is composed on device,
+        so no per-process slicing happens on the host at all."""
         n = len(self.dataset)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + epoch)
@@ -277,18 +293,81 @@ class BatchLoader:
         usable = (n // self.global_batch) * self.global_batch
         if usable == 0 and not self.drop_last:
             usable = n
-        perm = perm[:usable]
-        # Strided host shard: host h takes positions h, h+S, h+2S, ...
+        return perm[:usable]
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        # Strided host shard: host h takes positions h, h+S, h+2S, ... of the
+        # global permutation. The union of all hosts' batch-b slices is the
+        # contiguous global chunk perm[b*B_global:(b+1)*B_global].
+        perm = self.global_epoch_indices(epoch)
         return perm[self.shard_index::self.num_shards]
 
     def steps_per_epoch(self) -> int:
         return len(self.dataset) // self.global_batch
+
+    def _use_native(self) -> bool:
+        if self.feed != "raw" or self.native is False:
+            return False
+        from delora_tpu.data import native_io
+
+        if self.native is True:
+            if not native_io.available():
+                raise RuntimeError(
+                    "native_io: true but libdelora_io.so unavailable "
+                    "(make -C native)"
+                )
+            return True
+        # auto: worth it only when batches come from disk (RAM cache off —
+        # with the ragged RAM cache the Python pad+stack is already fast).
+        return not self.dataset.cache_in_ram and native_io.available()
+
+    def _native_epoch(self, indices, n_batches) -> Iterator[ScanPairBatch]:
+        """Raw-feed epoch through the C++ threaded pair batcher: batches are
+        requested ``prefetch`` ahead and materialize in request order; the
+        npy reads, truncation to max_points and zero-padding happen GIL-free
+        in native worker threads (same output as ``make_batch``, proven by
+        tests/test_native_io.py)."""
+        from delora_tpu.data.native_io import NativePairLoader
+
+        ds = self.dataset
+        if self._native_loader is None:
+            scan_paths = [p for seq in ds.scan_files for p in seq]
+            normal_paths = [p for seq in ds.normal_files for p in seq]
+            offsets = np.cumsum([0] + [len(s) for s in ds.scan_files[:-1]])
+            self._pair_first_flat = np.asarray(
+                [offsets[si] + k for si, k in ds.pairs], np.int32
+            )
+            self._native_loader = NativePairLoader(
+                scan_paths, normal_paths, ds.max_points,
+                n_threads=max(2, self.prefetch),
+            )
+        lb = self.local_batch
+        loader, flat = self._native_loader, self._pair_first_flat
+        ahead = max(1, self.prefetch)
+
+        def gen():
+            requested = 0
+            while requested < min(ahead, n_batches):
+                sel = indices[requested * lb:(requested + 1) * lb]
+                loader.request(flat[np.asarray(sel, np.int64)])
+                requested += 1
+            for _ in range(n_batches):
+                pts1, nrm1, val1, pts2, nrm2, val2 = loader.next_batch(lb)
+                if requested < n_batches:
+                    sel = indices[requested * lb:(requested + 1) * lb]
+                    loader.request(flat[np.asarray(sel, np.int64)])
+                    requested += 1
+                yield ScanPairBatch(pts1, nrm1, val1, pts2, nrm2, val2)
+
+        return gen()
 
     def epoch(self, epoch: int) -> Iterator[ScanPairBatch]:
         indices = self.epoch_indices(epoch)
         n_batches = len(indices) // self.local_batch
         if n_batches == 0:
             return iter(())
+        if self._use_native():
+            return self._native_epoch(indices, n_batches)
 
         make = {
             "raw": self.dataset.make_batch,

@@ -151,6 +151,95 @@ def make_sharded_train_step_fullcached(model, cfg, mesh, donate: bool = True):
     )
 
 
+def table_sharding(mesh):
+    """Stacked artifact tables shard their leading (scan) axis over data."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_stacked_tables(np_leaves, mesh):
+    """Host numpy tables ``[S, ...]`` -> device arrays sharded over the data
+    axis (the device-resident dataset of the HBM-resident training path,
+    trainer.py). Rows are zero-padded to a multiple of the axis size; pad
+    rows are never referenced by any pair index. Works multi-process: every
+    process holds the full host table (ScanPairDataset loads all scans) and
+    ``make_array_from_callback`` materializes only each process's addressable
+    shards, so per-device HBM is S/n_devices rows — the budget SCALES with
+    the mesh instead of replicating.
+    """
+    import numpy as np
+
+    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    sharding = table_sharding(mesh)
+    out = []
+    for leaf in np_leaves:
+        leaf = np.asarray(leaf)
+        pad = (-leaf.shape[0]) % n
+        if pad:
+            leaf = np.concatenate(
+                [leaf, np.zeros((pad,) + leaf.shape[1:], leaf.dtype)], axis=0
+            )
+        out.append(
+            jax.make_array_from_callback(
+                leaf.shape, sharding, lambda idx, _l=leaf: _l[idx]
+            )
+        )
+    return out
+
+
+def make_sharded_scan_steps(model, cfg, mesh, k_steps: int, donate: bool = True):
+    """K optimizer steps per dispatch over the mesh: ``lax.scan`` over the
+    sharded fullcached step with ON-DEVICE batch gather from the stacked
+    artifact tables (the mesh twin of ``trainer._scan_steps_fn``).
+
+    The tables are sharded over the data axis; the per-step ``[B]`` index
+    rows are replicated (every process computes the same global permutation
+    from the shared seed), so the gather is an SPMD cross-shard gather whose
+    output is constrained back to batch-sharded — XLA inserts the collective
+    and everything downstream (forward, loss, grads) runs data-parallel with
+    one fused gradient all-reduce, exactly like the host-fed sharded step.
+    Zero per-step host->device traffic; one dispatch per K steps.
+    """
+    _check_fullcached(cfg)
+    repl = replicated_sharding(mesh)
+    tshard = table_sharding(mesh)
+    bshard = batch_sharding(mesh)
+
+    def steps(state, rng, tables, tgt_idx, src_idx):
+        img, nimg, mr, pts, nrm, val = tables
+
+        def body(carry, xs):
+            state, rng = carry
+            ti, si = xs
+            rng, step_rng = jax.random.split(rng)
+            batch = FullyCachedBatch(
+                img[ti], nimg[ti], mr[ti],
+                img[si], pts[si], nrm[si], val[si], mr[si],
+            )
+            batch = jax.lax.with_sharding_constraint(batch, bshard)
+            grad_fn = jax.value_and_grad(
+                lambda p: loss_and_metrics_fullcached(
+                    state.apply_fn, p, batch, cfg, step_rng
+                ),
+                has_aux=True,
+            )
+            (loss, (metrics, _)), grads = grad_fn(state.params)
+            new_state = state.apply_gradients(grads=grads)
+            metrics["grad_norm"] = optax_global_norm(grads)
+            return (new_state, rng), metrics
+
+        (state, rng), metrics = jax.lax.scan(
+            body, (state, rng), (tgt_idx, src_idx), length=k_steps
+        )
+        return state, rng, metrics
+
+    return jax.jit(
+        steps,
+        in_shardings=(repl, repl, tshard, repl, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+
 def make_sharded_infer_step(model, cfg, mesh):
     from delora_tpu.training.step import make_infer_step
 
