@@ -46,6 +46,70 @@ class PlaneSegment:
         return np.where((t > 0.1) & inside, t, np.inf)
 
 
+class RotatedPlaneSegment:
+    """Finite rectangle with arbitrary orientation: center ``c``, unit normal
+    ``n``, orthonormal in-plane axes ``a1, a2`` with half-extents ``h1, h2``.
+
+    Generalizes :class:`PlaneSegment` beyond axis-aligned geometry — needed
+    because an axis-aligned world puts every wall normal in {±x, ±y}, which
+    leaves the point-to-plane objective degenerate along any direction not
+    spanned densely (the projective-ICP sliding failure measured on the
+    880 m corridor world, docs/BENCH_NOTES.md r17). Yawed walls spread
+    normals over all azimuths, conditioning translation in the whole plane.
+    """
+
+    def __init__(self, center, normal, a1, a2, h1: float, h2: float):
+        self.center = np.asarray(center, np.float64)
+        self.normal = np.asarray(normal, np.float64)
+        self.a1 = np.asarray(a1, np.float64)
+        self.a2 = np.asarray(a2, np.float64)
+        self.h1 = float(h1)
+        self.h2 = float(h2)
+
+    def intersect(self, origins: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+        denom = dirs @ self.normal
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = ((self.center - origins) @ self.normal) / denom
+        t = np.where(np.abs(denom) < 1e-9, np.inf, t)
+        hit = origins + t[:, None] * dirs - self.center
+        inside = (np.abs(hit @ self.a1) <= self.h1) & (
+            np.abs(hit @ self.a2) <= self.h2
+        )
+        return np.where((t > 0.1) & inside, t, np.inf)
+
+    def bounding_sphere(self):
+        return self.center, float(np.hypot(self.h1, self.h2))
+
+
+def _segment_bounding_sphere(seg):
+    if hasattr(seg, "bounding_sphere"):
+        return seg.bounding_sphere()
+    lo = np.asarray(seg.lo, np.float64)
+    hi = np.asarray(seg.hi, np.float64)
+    other = [i for i in range(3) if i != seg.axis]
+    center = np.zeros(3)
+    center[seg.axis] = seg.offset
+    center[other[0]] = (lo[0] + hi[0]) / 2
+    center[other[1]] = (lo[1] + hi[1]) / 2
+    return center, float(np.linalg.norm(hi - lo)) / 2
+
+
+def _add_box_yawed(world, cx: float, cy: float, w: float, d: float,
+                   h: float, yaw: float, floor: float = -1.8) -> None:
+    """Four vertical walls of a box rotated by ``yaw`` about z."""
+    c, s = np.cos(yaw), np.sin(yaw)
+    ex = np.array([c, s, 0.0])            # box x axis in world
+    ey = np.array([-s, c, 0.0])           # box y axis in world
+    ez = np.array([0.0, 0.0, 1.0])
+    zc = floor + h / 2
+    center = np.array([cx, cy, zc])
+    for sign in (-1.0, 1.0):
+        world.append(RotatedPlaneSegment(
+            center + sign * ex * (w / 2), ex, ey, ez, d / 2, h / 2))
+        world.append(RotatedPlaneSegment(
+            center + sign * ey * (d / 2), ey, ex, ez, w / 2, h / 2))
+
+
 def make_world(seed: int = 0, extent: float = 60.0, n_boxes: int = 24
                ) -> List[PlaneSegment]:
     """Ground plane + random boxes (walls perpendicular to x/y)."""
@@ -84,14 +148,19 @@ def _add_box(world: List[PlaneSegment], cx: float, cy: float,
 
 
 def make_world_along(traj: np.ndarray, n_boxes: int = 200, seed: int = 0,
-                     lateral: Tuple[float, float] = (8.0, 60.0)
-                     ) -> List[PlaneSegment]:
+                     lateral: Tuple[float, float] = (8.0, 60.0),
+                     yawed: bool = False) -> List[PlaneSegment]:
     """World whose geometry FOLLOWS a trajectory: a ground plane covering the
     path's bounding box (+ sensor range margin) and boxes scattered at
     lateral offsets from random path points, so arbitrarily long drives
     (the >= 800 m KITTI-metric experiments) keep structure in sensor range
     for the whole sequence — ``make_world``'s fixed-extent scatter empties
     out past ~240 m.
+
+    ``yawed=True`` rotates every box by a random yaw: axis-aligned worlds put
+    all wall normals in {±x, ±y}, leaving the point-to-plane objective
+    degenerate along unrepresented directions (the r17 sliding failure);
+    yawed walls spread normals over all azimuths like real street scenes.
     """
     rng = np.random.default_rng(seed)
     xy = traj[:, :2, 3]
@@ -108,7 +177,11 @@ def make_world_along(traj: np.ndarray, n_boxes: int = 200, seed: int = 0,
         normal = np.array([-heading[1], heading[0]])
         c = xy[k] + normal * offset + rng.uniform(-10, 10, size=2)
         w, d, h = rng.uniform(1.5, 8.0, size=3)
-        _add_box(world, float(c[0]), float(c[1]), w, d, min(h, 4.0))
+        if yawed:
+            _add_box_yawed(world, float(c[0]), float(c[1]), w, d,
+                           min(h, 4.0), float(rng.uniform(0.0, np.pi / 2)))
+        else:
+            _add_box(world, float(c[0]), float(c[1]), w, d, min(h, 4.0))
     return world
 
 
@@ -123,14 +196,7 @@ def cull_world(world: List[PlaneSegment], origin: np.ndarray,
     hit within max_range)."""
     keep = []
     for seg in world:
-        lo = np.asarray(seg.lo, np.float64)
-        hi = np.asarray(seg.hi, np.float64)
-        other = [i for i in range(3) if i != seg.axis]
-        center = np.zeros(3)
-        center[seg.axis] = seg.offset
-        center[other[0]] = (lo[0] + hi[0]) / 2
-        center[other[1]] = (lo[1] + hi[1]) / 2
-        radius = float(np.linalg.norm(hi - lo)) / 2
+        center, radius = _segment_bounding_sphere(seg)
         if np.linalg.norm(center - origin) <= max_range + radius:
             keep.append(seg)
     return keep
@@ -191,6 +257,7 @@ def write_kitti_layout(
     azimuth_steps: int = 900,
     seed: int = 0,
     step: float = 0.8,
+    yawed: bool = False,
 ) -> Tuple[str, str]:
     """Emit <out>/sequences/<seq>/velodyne/*.bin + <out>/poses/<seq>.txt.
 
@@ -208,7 +275,8 @@ def write_kitti_layout(
     drive_m = step * (n_scans - 1)
     if drive_m > 150.0:
         world = make_world_along(
-            traj, n_boxes=max(200, int(drive_m * 2.5)), seed=seed
+            traj, n_boxes=max(200, int(drive_m * 2.5)), seed=seed,
+            yawed=yawed,
         )
     else:
         world = make_world(seed=seed)

@@ -108,3 +108,46 @@ def test_native_projection_matches_numpy():
         image[agree], ref.image[agree], rtol=1e-6, atol=1e-6
     )
     assert mean_range == pytest.approx(ref.mean_range, rel=1e-5)
+
+
+def test_batchloader_raw_feed_uses_native_batcher(tmp_path):
+    """Integration (VERDICT r3 #4): BatchLoader(feed='raw') routes batches
+    through the C++ threaded pair batcher and produces EXACTLY the Python
+    producer's batches (same padding/truncation/ordering semantics)."""
+    rng = np.random.default_rng(3)
+    base = tmp_path / "pre" / "00"
+    (base / "scans").mkdir(parents=True)
+    (base / "normals").mkdir(parents=True)
+    for i in range(7):
+        n = 40 + 13 * i
+        np.save(base / "scans" / f"{i:06d}.npy",
+                rng.normal(size=(n, 3)).astype(np.float32))
+        np.save(base / "normals" / f"{i:06d}.npy",
+                rng.normal(size=(n, 3)).astype(np.float32))
+
+    from delora_tpu.data.dataset import BatchLoader, ScanPairDataset
+
+    config = {
+        "datasets": ["kitti"],
+        "kitti": {
+            "preprocessed_path": str(tmp_path / "pre"),
+            "data_identifiers": [0],
+            "max_points": 64,   # < largest scan: truncation path covered
+        },
+        "store_dataset_in_RAM": False,
+    }
+    ds = ScanPairDataset(config, "kitti", cache_in_ram=False)
+
+    nat = BatchLoader(ds, 2, shuffle=True, seed=7, native=True)
+    py = BatchLoader(ds, 2, shuffle=True, seed=7, native=False)
+    nb, pb = list(nat.epoch(0)), list(py.epoch(0))
+    assert nat._native_loader is not None  # native path actually engaged
+    assert len(nb) == len(pb) == 3
+    for a, b in zip(nb, pb):
+        for fa, fb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+    # auto mode: engages without RAM cache, stays Python with it.
+    assert BatchLoader(ds, 2, native="auto")._use_native()
+    ds_ram = ScanPairDataset(config, "kitti", cache_in_ram=True)
+    assert not BatchLoader(ds_ram, 2, native="auto")._use_native()
