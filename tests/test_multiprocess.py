@@ -13,7 +13,7 @@ import sys
 import pytest
 
 
-@pytest.mark.timeout(600)
+@pytest.mark.slow
 def test_two_process_training_matches_single_process(tmp_path):
     sys.path.insert(0, "scripts")
     from multiprocess_smoke import run_smoke

@@ -14,6 +14,9 @@ import sys
 import jax
 
 
+pytestmark = __import__("pytest").mark.slow
+
+
 def test_pod_recipe_4096_dryrun():
     sys.path.insert(0, "scripts")
     from pod_scaling import run_recipe

@@ -52,3 +52,54 @@ def test_write_kitti_layout(tmp_path):
     # Forward lidar motion appears as +z in the KITTI world convention.
     assert poses[-1][2, 3] > 2.0
     assert abs(poses[-1][1, 3]) < 0.5
+
+
+def test_rotated_plane_segment_intersection():
+    """Yawed wall: ray hits satisfy the plane equation and stay in bounds."""
+    import numpy as np
+
+    from delora_tpu.data.synthetic import RotatedPlaneSegment, _add_box_yawed
+
+    yaw = 0.7
+    c, s = np.cos(yaw), np.sin(yaw)
+    ex = np.array([c, s, 0.0])
+    seg = RotatedPlaneSegment(ex * 10.0, ex, np.array([-s, c, 0.0]),
+                              np.array([0.0, 0.0, 1.0]), 2.0, 1.5)
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(500, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = np.zeros((500, 3))
+    t = seg.intersect(origins, dirs)
+    hit = np.isfinite(t)
+    assert hit.any()
+    p = dirs[hit] * t[hit][:, None]
+    np.testing.assert_allclose((p - seg.center) @ seg.normal, 0.0, atol=1e-9)
+    assert np.all(np.abs((p - seg.center) @ seg.a1) <= 2.0 + 1e-9)
+    assert np.all(np.abs((p - seg.center) @ seg.a2) <= 1.5 + 1e-9)
+
+
+def test_yawed_world_scan_and_cull():
+    """Yawed-box worlds ray-cast and cull like axis-aligned ones, and their
+    wall normals span azimuths outside {0, 90, 180, 270} deg."""
+    import numpy as np
+
+    from delora_tpu.data.synthetic import (
+        cull_world, forward_trajectory, make_world_along, simulate_scan,
+    )
+
+    traj = forward_trajectory(40, step=0.8)
+    world = make_world_along(traj, n_boxes=40, seed=1, lateral=(6.0, 25.0),
+                             yawed=True)
+    culled = cull_world(world, traj[0][:3, 3], max_range=80.0)
+    assert 0 < len(culled) <= len(world)
+    pts = simulate_scan(world, traj[0], rings=16, azimuth_steps=300)
+    assert len(pts) > 1000
+    # normal azimuth diversity of the generated walls
+    from delora_tpu.data.synthetic import RotatedPlaneSegment
+
+    az = [np.arctan2(w.normal[1], w.normal[0])
+          for w in world if isinstance(w, RotatedPlaneSegment)]
+    frac_offaxis = np.mean([min(abs(a % (np.pi / 2)),
+                                np.pi / 2 - abs(a % (np.pi / 2))) > 0.1
+                            for a in az])
+    assert frac_offaxis > 0.5
