@@ -41,6 +41,25 @@ def main():
                          "paper's regularizer against projective-ICP "
                          "sliding; reference hyperparameters.yaml "
                          "random_point_cloud_rotations)")
+    ap.add_argument("--window", type=int, nargs=2, default=None,
+                    metavar=("WV", "WU"),
+                    help="correspondence search window (v, u). At 0.8 m/scan "
+                         "forward motion close ground points shift ~4 rings "
+                         "vertically, outside the default (5, 9) capture "
+                         "range — wider windows let the matcher find the "
+                         "true correspondent instead of a sliding one")
+    ap.add_argument("--trim", type=float, default=None,
+                    help="po2pl_trim_distance (meters): reject matched pairs "
+                         "with NN distance above this")
+    ap.add_argument("--yawed", action="store_true",
+                    help="rotate world boxes by random yaws (long worlds "
+                         "only): spreads wall normals over all azimuths so "
+                         "point-to-plane is conditioned in the whole plane "
+                         "(axis-aligned worlds caused the r17 sliding "
+                         "failure)")
+    ap.add_argument("--tag", default=None,
+                    help="suffix for checkpoint/log dirs so multiple arms "
+                         "share one workdir's raw + preprocessed data")
     args = ap.parse_args()
 
     from delora_tpu.config import load_config
@@ -60,7 +79,7 @@ def main():
         print("[synth] generating world + scans ...")
         write_kitti_layout(raw, sequence=0, n_scans=args.scans,
                            rings=args.rings, azimuth_steps=args.azimuth,
-                           step=args.step)
+                           step=args.step, yawed=args.yawed)
 
     overrides = {
         "datasets": ["kitti"],
@@ -77,14 +96,22 @@ def main():
         },
         "batch_size": args.batch_size,
         "learning_rate": args.lr,
-        "checkpoint_dir": os.path.join(args.workdir, "ckpt"),
-        "log_dir": os.path.join(args.workdir, "runs"),
+        "checkpoint_dir": os.path.join(
+            args.workdir, f"ckpt_{args.tag}" if args.tag else "ckpt"
+        ),
+        "log_dir": os.path.join(
+            args.workdir, f"runs_{args.tag}" if args.tag else "runs"
+        ),
         "epsilon_range": 1.0,
     }
     if args.correspondence:
         overrides["correspondence"] = args.correspondence
     if args.augment:
         overrides["random_point_cloud_rotations"] = True
+    if args.window:
+        overrides["projective_window"] = list(args.window)
+    if args.trim is not None:
+        overrides["po2pl_trim_distance"] = args.trim
     if args.small:
         overrides.update({"resnet_outputs": 128, "layers": [1, 1, 1, 1],
                           "factor_fewer_resnet_channels": 4})
