@@ -506,3 +506,122 @@ def test_euler_zyx_matches_reference():
     ).numpy()
     ours = np.asarray(jax.vmap(matrix_to_euler_zyx)(jnp.asarray(R)))
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# (f) deployment closure: reference runtime consumes our exported checkpoint
+# ---------------------------------------------------------------------------
+
+
+def test_deployment_closure_reference_runtime(tmp_path):
+    """VERDICT r3 #6: close the deployment loop against the actual reference
+    runtime. A `delora export-torch`-format checkpoint
+    (utils.torch_import.save_reference_checkpoint — the CLI's engine) is
+    loaded by the REFERENCE's own model code and driven through the
+    reference inference path — reference ImageProjectionLayer projection of
+    our preprocessed scans (utility/projection.py:48), reference
+    OdometryModel.forward (models/model.py:103), pose chaining with the
+    reference's utility.poses.compute_poses (poses.py:11) — over a synthetic
+    sequence. The resulting trajectory must match our own Tester's output
+    on the same scans within float tolerance."""
+    from tests.test_e2e import e2e_config, synthesize_kitti_sequence
+
+    synthesize_kitti_sequence(str(tmp_path / "raw"), n_scans=8)
+    config = dict(e2e_config(tmp_path))
+    # Reference-exact quaternion normalization (whole-tensor, model.py:114).
+    config["quaternion_normalization"] = "global"
+    from delora_tpu.data.preprocess import Preprocessor
+
+    Preprocessor(config).run_dataset("kitti", progress=False)
+
+    # --- our side: random-init state -> Tester trajectory -----------------
+    import jax.numpy as jnp2
+
+    from delora_tpu.models.odometry import ModelConfig, OdometryModel
+    from delora_tpu.training.state import create_train_state
+    from delora_tpu.training.tester import Tester
+    from delora_tpu.utils import poses as pose_utils
+
+    model = OdometryModel(ModelConfig.from_config(config))
+    state = create_train_state(
+        model, config, jnp2.zeros((2, 16, 64, 4), jnp2.float32)
+    )
+    tester = Tester(config, state=state, run_name="closure")
+    rel_ours = tester.predict_sequence("kitti", 0)          # [7, 4, 4]
+    poses_ours = pose_utils.compute_poses(list(rel_ours))   # [8, 4, 4]
+
+    # --- export to the reference checkpoint format ------------------------
+    from delora_tpu.utils.torch_import import save_reference_checkpoint
+
+    ckpt_path = str(tmp_path / "export.pth")
+    save_reference_checkpoint(
+        ckpt_path, state.params, config=config,
+        blocks_per_stage=tuple(config["layers"]),
+    )
+
+    # --- reference side ----------------------------------------------------
+    ref_model_mod = _import_reference("models.model")
+    ref_proj_mod = _import_reference("utility.projection")
+    ref_poses_mod = _import_reference("utility.poses")
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    assert set(ckpt) >= {"epoch", "model_state_dict", "optimizer_state_dict",
+                         "loss", "parameters"}
+    ref_model = ref_model_mod.OdometryModel({
+        "device": "cpu",
+        "pre_feature_extraction": False,
+        "activation_fct": "tanh",
+        "resnet_outputs": int(config["resnet_outputs"]),
+        "use_dropout": False,
+        "layers": list(config["layers"]),
+        "factor_fewer_resnet_channels": int(
+            config["factor_fewer_resnet_channels"]),
+        "use_single_mlp_at_output": False,
+    }).eval()
+    ref_model.load_state_dict(ckpt["model_state_dict"])
+
+    from delora_tpu.ops.projection import ProjectionSpec
+
+    spec = ProjectionSpec.from_config(config, "kitti")
+    layer = ref_proj_mod.ImageProjectionLayer({
+        "device": "cpu",
+        "horizontal_field_of_view": [spec.fov_left, spec.fov_right],
+        "kitti": {
+            "horizontal_cells": spec.width,
+            "vertical_cells": spec.height,
+            "vertical_field_of_view": [spec.fov_down, spec.fov_up],
+        },
+    })
+
+    import glob as glob_mod
+
+    scan_files = sorted(glob_mod.glob(
+        str(tmp_path / "preprocessed" / "00" / "scans" / "*.npy")))
+    assert len(scan_files) == 8
+
+    def ref_project(path):
+        pts = np.load(path).astype(np.float32)
+        with torch.no_grad():
+            img, _, _, _, _ = layer.project_to_img(
+                torch.from_numpy(pts.T[None]), dataset="kitti"
+            )
+        return img                                           # [1, 4, H, W]
+
+    from delora_tpu import se3 as se3_mod
+
+    images = [ref_project(p) for p in scan_files]
+    rel_ref = []
+    with torch.no_grad():
+        for k in range(len(images) - 1):
+            t, q = ref_model(images[k], images[k + 1])
+            T = np.asarray(se3_mod.transform_from_quat(
+                jnp.asarray(t.numpy()), jnp.asarray(q.numpy())))[0]
+            rel_ref.append(T[None])                          # [1, 4, 4]
+    poses_ref = ref_poses_mod.compute_poses(rel_ref)         # [8, 4, 4]
+
+    # Same predicted relative transforms (identical weights, parity-proven
+    # projection + forward), hence the same chained trajectory.
+    np.testing.assert_allclose(
+        np.stack([r[0] for r in rel_ref]), rel_ours, rtol=1e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(poses_ref, poses_ours, rtol=1e-3, atol=5e-4)
