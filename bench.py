@@ -230,6 +230,51 @@ def main():
         f"{pairs_per_sec:.2f} pairs/s "
         f"({elapsed / (ND * KS) * 1000:.2f} ms/step)")
 
+    # ---- Inference + serving latency (cheap small-program compiles, so they
+    # run BEFORE the expensive diagnostic compiles and land in the JSON —
+    # the reference's measured latency surface, time_network.py:52-93).
+    try:
+        from delora_tpu.ops.projection import project_image
+        from delora_tpu.training.step import forward_pose, make_infer_step
+
+        infer = make_infer_step(model, cfg)
+        b1 = jax.tree.map(lambda x: x[:1], batch)
+        T = infer(state.params, b1)
+        sync(T)
+        lat = []
+        for _ in range(20):
+            t0 = time.time()
+            T = infer(state.params, b1)
+            sync(T)
+            lat.append(time.time() - t0)
+        p50 = float(np.percentile(lat, 50) * 1000)
+        extra["inference_p50_ms"] = round(p50, 2)
+        log(f"single-pair inference p50: {p50:.1f} ms (budget 100 ms)")
+
+        # Serving steady state: each scan projected ONCE, previous image
+        # cached on device (delora_tpu/serving/stream.py push_scan).
+        project1 = jax.jit(lambda p, v: project_image(p, v, pspec)[None])
+        forward1 = jax.jit(
+            lambda params, i1, i2: forward_pose(model.apply, params, i1, i2)[0]
+        )
+        img_prev = project1(batch.points_1[0], batch.valid_1[0])
+        sync(forward1(state.params, img_prev, img_prev))
+        lat = []
+        for k in range(20):
+            t0 = time.time()
+            img = project1(batch.points_2[0], batch.valid_2[0])
+            T1 = forward1(state.params, img_prev, img)
+            sync(T1)
+            img_prev = img
+            lat.append(time.time() - t0)
+        p50s = float(np.percentile(lat, 50) * 1000)
+        extra["serving_p50_ms"] = round(p50s, 2)
+        log(f"serving steady-state p50: {p50s:.1f} ms/scan (budget 100 ms)")
+    except Exception as e:
+        log(f"latency probes failed: {type(e).__name__}: {e}")
+        extra.setdefault("inference_p50_ms", None)
+        extra.setdefault("serving_p50_ms", None)
+
     # ---- MFU accounting (VERDICT r2 item 1): FLOPs/step from XLA's cost
     # analysis of the compiled headline program, achieved TFLOP/s, and MFU
     # against the chip's bf16 peak (v5e: 197 TFLOP/s; override with
@@ -418,45 +463,6 @@ def main():
             el = time.time() - t0
             log(f"uncached: {K} steps x {B} pairs in {el:.2f}s -> "
                 f"{K * B / el:.2f} pairs/s ({el / K * 1000:.1f} ms/step)")
-
-        if remaining() > 60:
-            # Single-scan inference latency (10 Hz budget check).
-            from delora_tpu.ops.projection import project_scan
-            from delora_tpu.training.step import forward_pose, make_infer_step
-
-            infer = make_infer_step(model, cfg)
-            b1 = jax.tree.map(lambda x: x[:1], batch)
-            T = infer(state.params, b1)
-            sync(T)
-            lat = []
-            for _ in range(20):
-                t0 = time.time()
-                T = infer(state.params, b1)
-                sync(T)
-                lat.append(time.time() - t0)
-            p50 = float(np.percentile(lat, 50) * 1000)
-            log(f"single-pair inference p50: {p50:.1f} ms (budget 100 ms)")
-
-            # Serving steady state: each scan projected ONCE, previous image
-            # cached on device (delora_tpu/serving/stream.py push_scan).
-            from delora_tpu.ops.projection import project_image
-
-            project1 = jax.jit(lambda p, v: project_image(p, v, pspec)[None])
-            forward1 = jax.jit(
-                lambda params, i1, i2: forward_pose(model.apply, params, i1, i2)[0]
-            )
-            img_prev = project1(batch.points_1[0], batch.valid_1[0])
-            sync(forward1(state.params, img_prev, img_prev))
-            lat = []
-            for k in range(20):
-                t0 = time.time()
-                img = project1(batch.points_2[0], batch.valid_2[0])
-                T1 = forward1(state.params, img_prev, img)
-                sync(T1)
-                img_prev = img
-                lat.append(time.time() - t0)
-            p50s = float(np.percentile(lat, 50) * 1000)
-            log(f"serving steady-state p50: {p50s:.1f} ms/scan (budget 100 ms)")
 
     try:
         diagnostics()

@@ -57,6 +57,9 @@ def main():
                          "point-to-plane is conditioned in the whole plane "
                          "(axis-aligned worlds caused the r17 sliding "
                          "failure)")
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="evaluate the trajectory metric every N epochs "
+                         "(staged training; shows optimization transients)")
     ap.add_argument("--tag", default=None,
                     help="suffix for checkpoint/log dirs so multiple arms "
                          "share one workdir's raw + preprocessed data")
@@ -125,15 +128,29 @@ def main():
         Preprocessor(config).run_dataset("kitti", progress=True)
 
     config = load_config(overrides=overrides, mode="training")
+    from delora_tpu.training.tester import Tester
     from delora_tpu.training.trainer import Trainer
 
     trainer = Trainer(config, run_name="synth")
-    trainer.train(max_epochs=args.epochs)
+    config_t = load_config(overrides=overrides, mode="testing")
+
+    if args.eval_every and args.eval_every < args.epochs:
+        # Staged training: evaluate the trajectory metric every N epochs so
+        # transients (a good state the optimizer later leaves) are visible.
+        done = trainer.start_epoch
+        while done < args.epochs:
+            stage_end = min(done + args.eval_every, args.epochs)
+            trainer.start_epoch = done     # resume where the stage left off
+            trainer.train(max_epochs=stage_end)
+            done = stage_end
+            tester = Tester(config_t, state=trainer.state,
+                            run_name=f"synth_eval_ep{done:04d}")
+            print(f"[synth] eval @ epoch {done}:", tester.test())
+        results = None
+    else:
+        trainer.train(max_epochs=args.epochs)
 
     # Evaluate
-    config_t = load_config(overrides=overrides, mode="testing")
-    from delora_tpu.training.tester import Tester
-
     tester = Tester(config_t, state=trainer.state, run_name="synth_eval")
     results = tester.test()
     print("[synth] results:", results)
