@@ -29,6 +29,10 @@ def main():
                     metavar=("LO", "HI", "N"))
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--rings", type=int, default=32)
+    ap.add_argument("--sweep", default="forward", choices=["forward", "yaw"],
+                    help="forward: T(alpha)=(alpha*t_true, R_true); "
+                         "yaw: T(beta)=(t_true, yaw=beta) — locates the "
+                         "objective's yaw argmin vs the true yaw rate")
     args = ap.parse_args()
 
     import os
@@ -113,8 +117,17 @@ def main():
 
         rows = []
         for a in alphas:
-            t = jnp.tile(jnp.asarray(t_true * a, jnp.float32)[None], (B, 1))
-            q = jnp.tile(jnp.asarray(q_true, jnp.float32)[None], (B, 1))
+            if args.sweep == "yaw":
+                Ty = np.eye(3)
+                c_, s_ = np.cos(a), np.sin(a)
+                Ty[:2, :2] = [[c_, -s_], [s_, c_]]
+                t = jnp.tile(jnp.asarray(t_true, jnp.float32)[None], (B, 1))
+                q = jnp.tile(np.asarray(se3.rotmat_to_quat(
+                    jnp.asarray(Ty)))[None].astype(np.float32), (B, 1))
+            else:
+                t = jnp.tile(jnp.asarray(t_true * a, jnp.float32)[None],
+                             (B, 1))
+                q = jnp.tile(jnp.asarray(q_true, jnp.float32)[None], (B, 1))
             m = jax.device_get(probe(batch, t, q))
             rows.append((a, float(m["loss_pc"]), float(m["loss_po2pl"]),
                          float(m["loss_pl2pl"]), float(m["num_po2pl_pairs"])))

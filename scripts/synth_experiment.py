@@ -41,6 +41,13 @@ def main():
                          "paper's regularizer against projective-ICP "
                          "sliding; reference hyperparameters.yaml "
                          "random_point_cloud_rotations)")
+    ap.add_argument("--aug-mag", type=float, default=None,
+                    help="augment rotation magnitude in degrees "
+                         "(reference magnitude_random_rot default 4.0; the "
+                         "draw is uniform(-mag/2, mag/2))")
+    ap.add_argument("--aug-yaw-only", action="store_true",
+                    help="restrict augment rotations to yaw "
+                         "(random_rotations_only_yaw)")
     ap.add_argument("--window", type=int, nargs=2, default=None,
                     metavar=("WV", "WU"),
                     help="correspondence search window (v, u). At 0.8 m/scan "
@@ -111,6 +118,10 @@ def main():
         overrides["correspondence"] = args.correspondence
     if args.augment:
         overrides["random_point_cloud_rotations"] = True
+    if args.aug_mag is not None:
+        overrides["magnitude_random_rot"] = args.aug_mag
+    if args.aug_yaw_only:
+        overrides["random_rotations_only_yaw"] = True
     if args.window:
         overrides["projective_window"] = list(args.window)
     if args.trim is not None:
