@@ -185,12 +185,29 @@ def image_space_correspondence_core(
     target_normal_image: jnp.ndarray,    # [H, W, 3]
     spec: ProjectionSpec,
     window: Tuple[int, int] = (5, 9),
+    soft_sigma: float = 0.0,
 ) -> Correspondence:
     """Window matching core over per-pixel source arrays.
 
     ``src_xyz`` may carry gradients — the selection loop runs on a detached
     copy (matching the reference's KD-index ``detach()``) and only the final
     residual recompute is differentiable.
+
+    ``soft_sigma`` (meters) > 0 switches the winner from a hard argmin to a
+    SOFTMAX-WEIGHTED blend of the window's candidates, w_k ∝
+    exp(-sq_k / sigma^2). Rationale (docs/BENCH_NOTES.md r19): hard
+    nearest-candidate selection makes the loss ripple with period one
+    azimuth column of yaw (candidates switch discretely as warped points
+    cross pixel boundaries), creating spurious local minima that training
+    locks onto — a measured ~2x yaw bias on the 880 m world. Blending makes
+    the matched point/normal a continuous function of the pose, removing the
+    ripple at its source; candidates within ~sigma of the best participate,
+    so sigma ~ the surface noise scale keeps the estimator sharp. The blend
+    is detached like the hard winner; blended normals are NOT renormalized
+    (their magnitude decays off-plane, which down-weights pl2pl exactly
+    where the blend spans disagreeing surfaces). The reference has no
+    counterpart (its KD-tree NN is hard); hard selection remains the
+    default and the two coincide as sigma -> 0.
     """
     H, W = spec.height, spec.width
     wv, wu = window
@@ -208,29 +225,72 @@ def image_space_correspondence_core(
 
     src_sel = jax.lax.stop_gradient(src_xyz)
 
-    def body(k, carry):
-        best_sq, best_xyz, best_nrm = carry
-        dv = k // wu
-        du = k % wu - b
-        cand = jax.lax.dynamic_slice(tgt_pad, (dv, 0, 0), (H, W, 7))
-        cand = jnp.roll(cand, -du, axis=1).reshape(H * W, 7)
-        d = cand[:, :3] - src_sel
-        sq = jnp.sum(d * d, axis=-1)
-        sq = jnp.where(cand[:, 6] > 0.5, sq, jnp.inf)
-        better = sq < best_sq
-        bm = better[:, None]
-        return (
-            jnp.where(better, sq, best_sq),
-            jnp.where(bm, cand[:, :3], best_xyz),
-            jnp.where(bm, cand[:, 3:6], best_nrm),
-        )
+    if soft_sigma > 0.0:
+        inv_tau = 1.0 / float(soft_sigma) ** 2
 
-    init = (
-        jnp.full((H * W,), jnp.inf, src_xyz.dtype),
-        jnp.zeros((H * W, 3), src_xyz.dtype),
-        jnp.zeros((H * W, 3), src_xyz.dtype),
-    )
-    best_sq, best_xyz, best_nrm = jax.lax.fori_loop(0, K, body, init)
+        # Streaming softmax (stable): M = min sq so far, accumulators hold
+        # weights relative to exp((M - sq)/tau) so the max weight is 1.
+        def body_soft(k, carry):
+            M, acc_w, acc_xyz, acc_nrm = carry
+            dv = k // wu
+            du = k % wu - b
+            cand = jax.lax.dynamic_slice(tgt_pad, (dv, 0, 0), (H, W, 7))
+            cand = jnp.roll(cand, -du, axis=1).reshape(H * W, 7)
+            d = cand[:, :3] - src_sel
+            sq = jnp.sum(d * d, axis=-1)
+            sq = jnp.where(cand[:, 6] > 0.5, sq, jnp.inf)
+            M_new = jnp.minimum(M, sq)
+            # Rescale old accumulators to the new reference minimum; the
+            # factor is exp((M_new - M) * inv_tau) <= 1 (0 when M was inf).
+            scale = jnp.where(
+                jnp.isfinite(M), jnp.exp((M_new - M) * inv_tau), 0.0
+            )
+            w = jnp.where(
+                jnp.isfinite(sq), jnp.exp((M_new - sq) * inv_tau), 0.0
+            )
+            return (
+                M_new,
+                acc_w * scale + w,
+                acc_xyz * scale[:, None] + w[:, None] * cand[:, :3],
+                acc_nrm * scale[:, None] + w[:, None] * cand[:, 3:6],
+            )
+
+        init = (
+            jnp.full((H * W,), jnp.inf, src_xyz.dtype),
+            jnp.zeros((H * W,), src_xyz.dtype),
+            jnp.zeros((H * W, 3), src_xyz.dtype),
+            jnp.zeros((H * W, 3), src_xyz.dtype),
+        )
+        best_sq, acc_w, acc_xyz, acc_nrm = jax.lax.fori_loop(
+            0, K, body_soft, init
+        )
+        denom = jnp.maximum(acc_w, 1e-20)[:, None]
+        best_xyz = acc_xyz / denom
+        best_nrm = acc_nrm / denom
+    else:
+        def body(k, carry):
+            best_sq, best_xyz, best_nrm = carry
+            dv = k // wu
+            du = k % wu - b
+            cand = jax.lax.dynamic_slice(tgt_pad, (dv, 0, 0), (H, W, 7))
+            cand = jnp.roll(cand, -du, axis=1).reshape(H * W, 7)
+            d = cand[:, :3] - src_sel
+            sq = jnp.sum(d * d, axis=-1)
+            sq = jnp.where(cand[:, 6] > 0.5, sq, jnp.inf)
+            better = sq < best_sq
+            bm = better[:, None]
+            return (
+                jnp.where(better, sq, best_sq),
+                jnp.where(bm, cand[:, :3], best_xyz),
+                jnp.where(bm, cand[:, 3:6], best_nrm),
+            )
+
+        init = (
+            jnp.full((H * W,), jnp.inf, src_xyz.dtype),
+            jnp.zeros((H * W, 3), src_xyz.dtype),
+            jnp.zeros((H * W, 3), src_xyz.dtype),
+        )
+        best_sq, best_xyz, best_nrm = jax.lax.fori_loop(0, K, body, init)
     best_xyz = jax.lax.stop_gradient(best_xyz)
     best_nrm = jax.lax.stop_gradient(best_nrm)
 
@@ -251,8 +311,13 @@ def image_space_correspondence_batch(
     window: Tuple[int, int] = (5, 9),
     backend: str = "auto",
     src_planes_all: jnp.ndarray = None,   # optional [B, >=3, H, W], xyz at 0:3
+    soft_sigma: float = 0.0,
 ) -> Correspondence:
     """Batched :func:`image_space_correspondence_core`.
+
+    ``soft_sigma`` > 0 selects the softmax-blended matcher (see the core's
+    docstring) — implemented in the XLA loop only, so it forces the XLA
+    backend (the Pallas kernel keeps hard-argmin semantics).
 
     backend: "xla" (vmapped fori_loop core), "pallas" (fused VMEM-resident
     kernel, delora_tpu/ops/pallas/window_match.py), or "auto" (pallas when
@@ -269,9 +334,12 @@ def image_space_correspondence_batch(
     def _xla():
         return jax.vmap(
             lambda sx, so, img, nimg: image_space_correspondence_core(
-                sx, so, img, nimg, spec, window
+                sx, so, img, nimg, spec, window, soft_sigma=soft_sigma
             )
         )(src_xyz, src_occ, target_image, target_normal_image)
+
+    if soft_sigma > 0.0:
+        return _xla()
 
     def _pallas(interpret: bool):
         from delora_tpu.ops.pallas.window_match import window_match_pallas

@@ -81,6 +81,10 @@ class StepConfig(NamedTuple):
     # sets this so test-time losses are deterministic even with
     # ``use_dropout: true``.
     deterministic: bool = False
+    # > 0 (meters): softmax-blended window matching instead of hard argmin —
+    # removes the azimuth-column quantization ripple in the loss (r19 yaw
+    # aliasing; ops/correspondence.py image_space_correspondence_core).
+    soft_match_sigma: float = 0.0
 
     @classmethod
     def from_config(cls, config, dataset: str, *, supervised: bool):
@@ -99,6 +103,7 @@ class StepConfig(NamedTuple):
             use_pallas_nn=bool(config.get("use_pallas_nn", False)),
             matcher_backend=str(config.get("matcher_backend", "auto")),
             placement_backend=str(config.get("placement_backend", "auto")),
+            soft_match_sigma=float(config.get("soft_match_sigma", 0.0)),
         )
 
 
@@ -298,6 +303,7 @@ def _loss_tail(
         corr = image_space_correspondence_batch(
             s_xyz, s_occ, image_1, target_normal_image,
             cfg.proj, cfg.window, backend=cfg.matcher_backend,
+            soft_sigma=cfg.soft_match_sigma,
         )
         loss_src = (s_xyz, s_nrm, corr.valid)
     else:

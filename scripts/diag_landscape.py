@@ -98,6 +98,8 @@ def main():
                             icp=IcpLossConfig(trim_sq_distance=1.0))),
         ("w9x17_trim1", dict(window=(9, 17),
                              icp=IcpLossConfig(trim_sq_distance=1.0))),
+        ("w9x17_trim1_soft0.3", dict(window=(9, 17), soft=0.3,
+                                     icp=IcpLossConfig(trim_sq_distance=1.0))),
     ]
     pspec = ProjectionSpec.from_config(config, "kitti")
 
@@ -105,6 +107,7 @@ def main():
         cfg = StepConfig(
             proj=pspec, icp=kw.get("icp", IcpLossConfig()),
             correspondence="image", window=kw["window"], deterministic=True,
+            soft_match_sigma=kw.get("soft", 0.0),
         )
 
         @jax.jit

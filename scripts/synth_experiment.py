@@ -55,6 +55,9 @@ def main():
                          "vertically, outside the default (5, 9) capture "
                          "range — wider windows let the matcher find the "
                          "true correspondent instead of a sliding one")
+    ap.add_argument("--soft", type=float, default=None,
+                    help="soft_match_sigma in meters (softmax-blended "
+                         "matching; kills the yaw quantization ripple)")
     ap.add_argument("--trim", type=float, default=None,
                     help="po2pl_trim_distance (meters): reject matched pairs "
                          "with NN distance above this")
@@ -126,6 +129,8 @@ def main():
         overrides["projective_window"] = list(args.window)
     if args.trim is not None:
         overrides["po2pl_trim_distance"] = args.trim
+    if args.soft is not None:
+        overrides["soft_match_sigma"] = args.soft
     if args.small:
         overrides.update({"resnet_outputs": 128, "layers": [1, 1, 1, 1],
                           "factor_fewer_resnet_channels": 4})

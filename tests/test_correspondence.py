@@ -185,3 +185,89 @@ def test_window_match_tiled_matches_untiled():
         )
         for a, b in zip(ref, out):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_soft_match_tiny_sigma_equals_hard():
+    """soft_sigma -> 0 recovers the hard argmin winner (same points/normals
+    up to the blend's negligible tail mass)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from delora_tpu.ops.correspondence import image_space_correspondence_core
+    from delora_tpu.ops.projection import ProjectionSpec, project_scan
+
+    H, W = 12, 48
+    spec = ProjectionSpec(
+        height=H, width=W,
+        fov_down=np.deg2rad(-24.5), fov_up=np.deg2rad(2.0),
+        fov_left=np.deg2rad(-179.9), fov_right=np.deg2rad(179.9),
+    )
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(600, 3)).astype(np.float32) * np.array(
+        [6, 6, 0.6], np.float32) - np.array([0, 0, 1.2], np.float32)
+    proj = project_scan(jnp.asarray(pts), jnp.ones(600, bool), spec)
+    timg = proj.image
+    nimg = jnp.where(
+        timg[..., 3:4] > 0, jnp.asarray([0.0, 0.0, 1.0]), 0.0
+    ) * jnp.ones((H, W, 3))
+    src = timg[..., :3].reshape(H * W, 3) + 0.013
+    occ = timg[..., 3].reshape(H * W) > 0
+
+    hard = image_space_correspondence_core(src, occ, timg, nimg, spec, (3, 5))
+    soft = image_space_correspondence_core(
+        src, occ, timg, nimg, spec, (3, 5), soft_sigma=1e-3
+    )
+    assert bool(jnp.all(hard.valid == soft.valid))
+    m = hard.valid
+    np.testing.assert_allclose(
+        np.asarray(soft.target_points)[m], np.asarray(hard.target_points)[m],
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_soft_match_is_smooth_in_pose():
+    """The blended match point varies continuously as the source shifts by a
+    sub-column amount, while the hard winner jumps discretely — the r19 yaw
+    ripple mechanism."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from delora_tpu.ops.correspondence import image_space_correspondence_core
+    from delora_tpu.ops.projection import ProjectionSpec, project_scan
+
+    H, W = 12, 96
+    spec = ProjectionSpec(
+        height=H, width=W,
+        fov_down=np.deg2rad(-24.5), fov_up=np.deg2rad(2.0),
+        fov_left=np.deg2rad(-179.9), fov_right=np.deg2rad(179.9),
+    )
+    rng = np.random.default_rng(6)
+    pts = rng.normal(size=(800, 3)).astype(np.float32) * np.array(
+        [6, 6, 0.6], np.float32) - np.array([0, 0, 1.2], np.float32)
+    proj = project_scan(jnp.asarray(pts), jnp.ones(800, bool), spec)
+    timg = proj.image
+    nimg = jnp.zeros((H, W, 3)).at[..., 2].set(
+        (timg[..., 3] > 0).astype(jnp.float32))
+    occ = timg[..., 3].reshape(H * W) > 0
+    base = timg[..., :3].reshape(H * W, 3)
+
+    def match_mean(dyaw, sigma):
+        c, s = np.cos(dyaw), np.sin(dyaw)
+        R = jnp.asarray(
+            [[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], jnp.float32)
+        src = base @ R.T
+        corr = image_space_correspondence_core(
+            src, occ, timg, nimg, spec, (3, 9), soft_sigma=sigma
+        )
+        return float(jnp.sum(jnp.where(
+            corr.valid[:, None], corr.target_points, 0.0)))
+
+    # total |delta| of the aggregate match across tiny yaw steps
+    yaws = np.linspace(0.0, 2 * np.pi / W, 9)   # one azimuth column
+    hard_steps = np.abs(np.diff([match_mean(y, 0.0) for y in yaws]))
+    soft_steps = np.abs(np.diff([match_mean(y, 0.5) for y in yaws]))
+    # soft: no step much larger than the mean (smooth); hard: has jumps
+    assert soft_steps.max() < 5.0 * max(soft_steps.mean(), 1e-9)
+    assert hard_steps.max() > soft_steps.max()
