@@ -316,8 +316,8 @@ def image_space_correspondence_batch(
     """Batched :func:`image_space_correspondence_core`.
 
     ``soft_sigma`` > 0 selects the softmax-blended matcher (see the core's
-    docstring) — implemented in the XLA loop only, so it forces the XLA
-    backend (the Pallas kernel keeps hard-argmin semantics).
+    docstring) — both backends implement it with the same streaming-softmax
+    semantics (window_match.py _match_body).
 
     backend: "xla" (vmapped fori_loop core), "pallas" (fused VMEM-resident
     kernel, delora_tpu/ops/pallas/window_match.py), or "auto" (pallas when
@@ -338,8 +338,6 @@ def image_space_correspondence_batch(
             )
         )(src_xyz, src_occ, target_image, target_normal_image)
 
-    if soft_sigma > 0.0:
-        return _xla()
 
     def _pallas(interpret: bool):
         from delora_tpu.ops.pallas.window_match import window_match_pallas
@@ -372,6 +370,7 @@ def image_space_correspondence_batch(
 
         best_sq, best_xyz, best_nrm = window_match_pallas(
             src_planes, tgt_planes, wv=wv, wu=wu, interpret=interpret,
+            soft_sigma=soft_sigma,
         )
         best_xyz = jnp.transpose(best_xyz, (0, 2, 3, 1)).reshape(B, H * W, 3)
         best_nrm = jnp.transpose(best_nrm, (0, 2, 3, 1)).reshape(B, H * W, 3)

@@ -26,11 +26,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _match_body(src, tgt_full, *, H: int, wv: int, wu: int, halo: int):
+def _match_body(src, tgt_full, *, H: int, wv: int, wu: int, halo: int,
+                soft_sigma: float = 0.0):
     """Shared inner loop: src [3, H, WT]; tgt_full [7, Hp, WT + 2*halo]
     (halo = 0 on the untiled full-width path, where the horizontal shift
     wraps — global azimuth wrap; halo = wu//2 on the W-tiled path, where the
-    wrap columns are materialized in the halo). Returns (sq, xyz, nrm)."""
+    wrap columns are materialized in the halo). Returns (sq, xyz, nrm).
+
+    ``soft_sigma`` > 0: softmax-blended candidates (w ~ exp(-sq/sigma^2))
+    via the same streaming stable softmax as the XLA core
+    (correspondence.py image_space_correspondence_core) — identical
+    semantics, VPU exp instead of select."""
     bu = wu // 2
     Hp = H + wv - 1
     WT = src.shape[-1]
@@ -39,6 +45,9 @@ def _match_body(src, tgt_full, *, H: int, wv: int, wu: int, halo: int):
     best_sq = jnp.full((H, WT), jnp.inf, jnp.float32)
     best_xyz = jnp.zeros((3, H, WT), jnp.float32)
     best_nrm = jnp.zeros((3, H, WT), jnp.float32)
+    if soft_sigma > 0.0:
+        inv_tau = 1.0 / float(soft_sigma) ** 2
+        acc_w = jnp.zeros((H, WT), jnp.float32)
 
     # Both window loops are STATIC (K = wv*wu vector-op bodies): Mosaic
     # requires 8-aligned sublane slice starts, so the vertical offset is a
@@ -51,21 +60,41 @@ def _match_body(src, tgt_full, *, H: int, wv: int, wu: int, halo: int):
             d = cand[0:3] - src
             sq = jnp.sum(d * d, axis=0)                   # [H, WT]
             sq = jnp.where(cand[6] > 0.5, sq, jnp.inf)
-            better = sq < best_sq
-            best_sq = jnp.where(better, sq, best_sq)
-            best_xyz = jnp.where(better[None], cand[0:3], best_xyz)
-            best_nrm = jnp.where(better[None], cand[3:6], best_nrm)
+            if soft_sigma > 0.0:
+                M_new = jnp.minimum(best_sq, sq)
+                scale = jnp.where(
+                    jnp.isfinite(best_sq),
+                    jnp.exp((M_new - best_sq) * inv_tau), 0.0,
+                )
+                w = jnp.where(
+                    jnp.isfinite(sq), jnp.exp((M_new - sq) * inv_tau), 0.0
+                )
+                best_sq = M_new
+                acc_w = acc_w * scale + w
+                best_xyz = best_xyz * scale[None] + w[None] * cand[0:3]
+                best_nrm = best_nrm * scale[None] + w[None] * cand[3:6]
+            else:
+                better = sq < best_sq
+                best_sq = jnp.where(better, sq, best_sq)
+                best_xyz = jnp.where(better[None], cand[0:3], best_xyz)
+                best_nrm = jnp.where(better[None], cand[3:6], best_nrm)
+    if soft_sigma > 0.0:
+        denom = jnp.maximum(acc_w, 1e-20)[None]
+        best_xyz = best_xyz / denom
+        best_nrm = best_nrm / denom
     return best_sq, best_xyz, best_nrm
 
 
 def _match_kernel(src_ref, tgt_ref, sq_ref, xyz_ref, nrm_ref, *,
-                  H: int, W: int, wv: int, wu: int):
+                  H: int, W: int, wv: int, wu: int,
+                  soft_sigma: float = 0.0):
     """src_ref: [1, 3, H, W] detached warped source xyz planes.
     tgt_ref: [1, 7, H + wv - 1, W] vertically-padded target planes
     (x, y, z, nx, ny, nz, occupancy).
     Outputs: best sq [1, H, W], best xyz / normal [1, 3, H, W]."""
     sq, xyz, nrm = _match_body(
-        src_ref[0], tgt_ref[0], H=H, wv=wv, wu=wu, halo=0
+        src_ref[0], tgt_ref[0], H=H, wv=wv, wu=wu, halo=0,
+        soft_sigma=soft_sigma,
     )
     sq_ref[0] = sq
     xyz_ref[0] = xyz
@@ -73,13 +102,15 @@ def _match_kernel(src_ref, tgt_ref, sq_ref, xyz_ref, nrm_ref, *,
 
 
 def _match_kernel_tiled(src_ref, tgt_ref, sq_ref, xyz_ref, nrm_ref, *,
-                        H: int, wv: int, wu: int):
+                        H: int, wv: int, wu: int,
+                        soft_sigma: float = 0.0):
     """W-tiled variant: src_ref [1, 3, H, wt] (a W tile of the source),
     tgt_ref [1, 1, 7, Hp, wt + 2*(wu//2)] (the tile's haloed target slab,
     pre-materialized with the global azimuth wrap baked into the halo).
     Same winners as the full-width kernel."""
     sq, xyz, nrm = _match_body(
-        src_ref[0], tgt_ref[0, 0], H=H, wv=wv, wu=wu, halo=wu // 2
+        src_ref[0], tgt_ref[0, 0], H=H, wv=wv, wu=wu, halo=wu // 2,
+        soft_sigma=soft_sigma,
     )
     sq_ref[0] = sq
     xyz_ref[0] = xyz
@@ -154,7 +185,8 @@ def max_batch_for_shape(H: int, W: int, wv: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("wv", "wu", "interpret", "max_batch")
+    jax.jit,
+    static_argnames=("wv", "wu", "interpret", "max_batch", "soft_sigma"),
 )
 def window_match_pallas(
     src_planes: jnp.ndarray,    # [B, >=3, H, W] detached warped source; xyz at planes 0:3 (extra planes are never read — the BlockSpec loads 0:3 only)
@@ -164,6 +196,7 @@ def window_match_pallas(
     wu: int,
     interpret: bool = False,
     max_batch: int = None,
+    soft_sigma: float = 0.0,
 ):
     """-> (best_sq [B, H, W], best_xyz [B, 3, H, W], best_nrm [B, 3, H, W]).
 
@@ -197,7 +230,7 @@ def window_match_pallas(
         if wt and wt < W:  # noqa: E501
             return _window_match_tiled(
                 src_planes, tgt_planes, wv=wv, wu=wu, wt=wt,
-                interpret=interpret,
+                interpret=interpret, soft_sigma=soft_sigma,
             )
     if max_batch is None:
         max_batch = max_batch_for_shape(H, W, wv)
@@ -215,6 +248,7 @@ def window_match_pallas(
             lambda args: window_match_pallas(
                 args[0], args[1], wv=wv, wu=wu,
                 interpret=interpret, max_batch=chunk,
+                soft_sigma=soft_sigma,
             ),
             (
                 srcp.reshape(nb, chunk, C, H, W),
@@ -225,7 +259,8 @@ def window_match_pallas(
             o.reshape((nb * chunk,) + o.shape[2:])[:B] for o in outs
         )
 
-    kernel = functools.partial(_match_kernel, H=H, W=W, wv=wv, wu=wu)
+    kernel = functools.partial(_match_kernel, H=H, W=W, wv=wv, wu=wu,
+                               soft_sigma=soft_sigma)
     return pl.pallas_call(  # noqa: E501  (untiled path)
         kernel,
         grid=(B,),
@@ -253,7 +288,7 @@ def window_match_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("wv", "wu", "wt", "interpret")
+    jax.jit, static_argnames=("wv", "wu", "wt", "interpret", "soft_sigma")
 )
 def _window_match_tiled(
     src_planes: jnp.ndarray,    # [B, 3, H, W]
@@ -263,6 +298,7 @@ def _window_match_tiled(
     wu: int,
     wt: int,
     interpret: bool = False,
+    soft_sigma: float = 0.0,
 ):
     """W-tiled window matcher: grid (B, W//wt); per-tile target slabs carry
     a wu//2-column halo with the global azimuth wrap baked in, so winners
@@ -285,7 +321,8 @@ def _window_match_tiled(
         [halo[..., t * wt: t * wt + wt + 2 * bu] for t in range(T)], axis=1
     )                                                     # [B, T, 7, Hp, wt+2bu]
 
-    kernel = functools.partial(_match_kernel_tiled, H=H, wv=wv, wu=wu)
+    kernel = functools.partial(_match_kernel_tiled, H=H, wv=wv, wu=wu,
+                               soft_sigma=soft_sigma)
     sq, xyz, nrm = pl.pallas_call(
         kernel,
         grid=(B, T),

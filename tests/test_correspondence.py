@@ -271,3 +271,48 @@ def test_soft_match_is_smooth_in_pose():
     # soft: no step much larger than the mean (smooth); hard: has jumps
     assert soft_steps.max() < 5.0 * max(soft_steps.mean(), 1e-9)
     assert hard_steps.max() > soft_steps.max()
+
+
+def test_soft_match_pallas_matches_xla():
+    """Pallas soft-blend kernel (interpret mode on CPU) == XLA streaming
+    softmax core, same sigma."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from delora_tpu.ops.correspondence import image_space_correspondence_batch
+    from delora_tpu.ops.projection import ProjectionSpec, project_scan
+
+    H, W = 16, 128
+    spec = ProjectionSpec(
+        height=H, width=W,
+        fov_down=np.deg2rad(-24.5), fov_up=np.deg2rad(2.0),
+        fov_left=np.deg2rad(-179.9), fov_right=np.deg2rad(179.9),
+    )
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(2, 900, 3)).astype(np.float32) * np.array(
+        [6, 6, 0.6], np.float32) - np.array([0, 0, 1.2], np.float32)
+    imgs, nimgs, srcs, occs = [], [], [], []
+    for b in range(2):
+        proj = project_scan(jnp.asarray(pts[b]), jnp.ones(900, bool), spec)
+        timg = proj.image
+        imgs.append(timg)
+        nimgs.append(jnp.zeros((H, W, 3)).at[..., 2].set(
+            (timg[..., 3] > 0).astype(jnp.float32)))
+        srcs.append(timg[..., :3].reshape(H * W, 3) + 0.02)
+        occs.append(timg[..., 3].reshape(H * W) > 0)
+    args = (jnp.stack(srcs), jnp.stack(occs), jnp.stack(imgs),
+            jnp.stack(nimgs), spec, (3, 5))
+    cx = image_space_correspondence_batch(*args, backend="xla",
+                                          soft_sigma=0.25)
+    cp = image_space_correspondence_batch(*args, backend="pallas",
+                                          soft_sigma=0.25)
+    np.testing.assert_array_equal(np.asarray(cx.valid), np.asarray(cp.valid))
+    np.testing.assert_allclose(
+        np.asarray(cp.target_points), np.asarray(cx.target_points),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cp.target_normals), np.asarray(cx.target_normals),
+        rtol=1e-5, atol=1e-6,
+    )
