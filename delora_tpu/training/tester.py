@@ -158,7 +158,7 @@ class Tester:
                     if metrics is not None:
                         t_rel, r_rel = metrics
                         print(f"[test] {tag}: t_rel={t_rel:.3f}%  "
-                              f"r_rel={r_rel:.4f} deg/100m")
+                              f"r_rel={r_rel:.4f} deg/100m", flush=True)
                         self.logger.log_metrics(
                             {f"t_rel_{tag}": t_rel, f"r_rel_{tag}": r_rel}, step=0
                         )

@@ -526,7 +526,8 @@ class Trainer:
                 f"pc={metrics['loss_pc']:.6f} po2pl={metrics['loss_po2pl']:.6f} "
                 f"pl2pl={metrics['loss_pl2pl']:.6f} "
                 f"pairs/s={metrics['scan_pairs_per_sec']:.1f} "
-                f"supervised={self.supervised}"
+                f"supervised={self.supervised}",
+                flush=True,
             )
             ckpt_every = int(self.config.get("checkpoint_every_epochs", 1))
             if epoch % max(ckpt_every, 1) == 0 or epoch == epochs - 1:
