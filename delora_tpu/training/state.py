@@ -28,6 +28,16 @@ def effective_learning_rate(config, global_batch_size: int) -> float:
 
 def make_optimizer(config, global_batch_size: int) -> optax.GradientTransformation:
     lr = effective_learning_rate(config, global_batch_size)
+    # Optional decay schedule (framework feature; the reference trains at a
+    # constant lr). Late-epoch lr decay settles the pose estimate into the
+    # loss basin instead of wandering on optimizer noise — measured as
+    # t_rel oscillation across staged evals on the 880 m world (BENCH_NOTES
+    # r19). "cosine" decays to lr * lr_min_ratio over lr_decay_steps.
+    if str(config.get("lr_schedule", "constant")) == "cosine":
+        decay_steps = int(config["lr_decay_steps"])
+        lr = optax.cosine_decay_schedule(
+            lr, decay_steps, alpha=float(config.get("lr_min_ratio", 0.1))
+        )
     tx = optax.adam(lr)
     # Measured on v5e (scripts/perf_probe2.py): flattening the update via
     # optax.flatten is a REGRESSION inside the jitted step (11.9 -> 18.4 ms

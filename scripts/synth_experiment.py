@@ -55,6 +55,9 @@ def main():
                          "vertically, outside the default (5, 9) capture "
                          "range — wider windows let the matcher find the "
                          "true correspondent instead of a sliding one")
+    ap.add_argument("--cosine", action="store_true",
+                    help="cosine lr decay over the whole run (settles the "
+                         "late-epoch pose wander)")
     ap.add_argument("--soft", type=float, default=None,
                     help="soft_match_sigma in meters (softmax-blended "
                          "matching; kills the yaw quantization ripple)")
@@ -131,6 +134,11 @@ def main():
         overrides["po2pl_trim_distance"] = args.trim
     if args.soft is not None:
         overrides["soft_match_sigma"] = args.soft
+    if args.cosine:
+        steps_per_epoch = max(1, (args.scans - 1) // args.batch_size)
+        overrides["lr_schedule"] = "cosine"
+        overrides["lr_decay_steps"] = args.epochs * steps_per_epoch
+        overrides["lr_min_ratio"] = 0.05
     if args.small:
         overrides.update({"resnet_outputs": 128, "layers": [1, 1, 1, 1],
                           "factor_fewer_resnet_channels": 4})

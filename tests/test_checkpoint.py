@@ -106,3 +106,28 @@ def test_linear_lr_scaling():
     lr_none = effective_lr(base, 4096)
     lr_lin = effective_lr(linear, 4096)
     assert np.isclose(lr_lin / lr_none, 4096 / 32, rtol=1e-4)
+
+
+def test_cosine_schedule_decays_lr():
+    """lr_schedule: cosine builds a decaying optimizer that still trains and
+    whose effective step size shrinks (framework feature; reference is
+    constant-lr)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from delora_tpu.training.state import make_optimizer
+
+    cfg = {"learning_rate": 1e-2, "lr_schedule": "cosine",
+           "lr_decay_steps": 10, "lr_min_ratio": 0.0}
+    tx = make_optimizer(cfg, 8)
+    params = {"w": jnp.ones(4)}
+    opt_state = tx.init(params)
+    grads = {"w": jnp.ones(4)}
+    sizes = []
+    for _ in range(10):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        sizes.append(float(jnp.abs(updates["w"]).mean()))
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+    assert sizes[-1] < 0.2 * sizes[0]      # decayed near the end
+    np.testing.assert_allclose(sizes[0], 1e-2, rtol=0.2)  # starts at base lr
