@@ -170,7 +170,7 @@ def tile_width_for(H: int, W: int, wv: int, wu: int) -> int:
     return best
 
 
-def max_batch_for_shape(H: int, W: int, wv: int) -> int:
+def max_batch_for_shape(H: int, W: int, wv: int, soft: bool = False) -> int:
     """Largest safe direct-call batch, scaled from a measured anchor.
 
     Anchor at (H, W, wv) = (64, 720, 5), ~3.2 MB/row: the direct call
@@ -178,10 +178,19 @@ def max_batch_for_shape(H: int, W: int, wv: int) -> int:
     18.81M"); inside a ``lax.map`` body an 8-row chunk OOMs (17.36M) and
     4 rows fit. Rather than model XLA's staging precisely, scale the proven
     8-row anchor inversely with the per-row footprint and never exceed it.
+
+    The SOFT blend kernel carries an extra [H, W] weight accumulator and
+    exp temporaries, roughly tripling the per-grid-step stack (measured:
+    B=8 direct call at (32, 720, wv=9) soft OOMs scoped VMEM at 46.05M vs
+    the hard kernel fitting the same shape) — quarter the cap so soft
+    calls chunk.
     """
     anchor = sum(_row_bytes(64, 720, 5)) * 8
     rows = anchor // max(1, sum(_row_bytes(H, W, wv)))
-    return max(1, min(8, int(rows)))
+    cap = max(1, min(8, int(rows)))
+    if soft:
+        cap = max(1, cap // 4)
+    return cap
 
 
 @functools.partial(
@@ -233,7 +242,7 @@ def window_match_pallas(
                 interpret=interpret, soft_sigma=soft_sigma,
             )
     if max_batch is None:
-        max_batch = max_batch_for_shape(H, W, wv)
+        max_batch = max_batch_for_shape(H, W, wv, soft=soft_sigma > 0.0)
     if B > max_batch:
         # Chunks smaller than the direct-call limit: inside the scan body
         # XLA stages each call's WHOLE operands in VMEM (B=8 chunk: 15.3 MB
