@@ -228,8 +228,11 @@ def image_space_correspondence_core(
     if soft_sigma > 0.0:
         inv_tau = 1.0 / float(soft_sigma) ** 2
 
-        # Streaming softmax (stable): M = min sq so far, accumulators hold
-        # weights relative to exp((M - sq)/tau) so the max weight is 1.
+        # Unnormalized softmax accumulation — no max-shift: at practical
+        # sigma f32 covers exp(-sq/sigma^2) directly (underflow only past
+        # ~8 m^2, far outside any useful match), and the simpler form keeps
+        # the Pallas twin within its per-grid-step stack budget
+        # (window_match.py _match_body).
         def body_soft(k, carry):
             M, acc_w, acc_xyz, acc_nrm = carry
             dv = k // wu
@@ -239,20 +242,14 @@ def image_space_correspondence_core(
             d = cand[:, :3] - src_sel
             sq = jnp.sum(d * d, axis=-1)
             sq = jnp.where(cand[:, 6] > 0.5, sq, jnp.inf)
-            M_new = jnp.minimum(M, sq)
-            # Rescale old accumulators to the new reference minimum; the
-            # factor is exp((M_new - M) * inv_tau) <= 1 (0 when M was inf).
-            scale = jnp.where(
-                jnp.isfinite(M), jnp.exp((M_new - M) * inv_tau), 0.0
-            )
             w = jnp.where(
-                jnp.isfinite(sq), jnp.exp((M_new - sq) * inv_tau), 0.0
+                jnp.isfinite(sq), jnp.exp(-sq * inv_tau), 0.0
             )
             return (
-                M_new,
-                acc_w * scale + w,
-                acc_xyz * scale[:, None] + w[:, None] * cand[:, :3],
-                acc_nrm * scale[:, None] + w[:, None] * cand[:, 3:6],
+                jnp.minimum(M, sq),
+                acc_w + w,
+                acc_xyz + w[:, None] * cand[:, :3],
+                acc_nrm + w[:, None] * cand[:, 3:6],
             )
 
         init = (
@@ -264,7 +261,9 @@ def image_space_correspondence_core(
         best_sq, acc_w, acc_xyz, acc_nrm = jax.lax.fori_loop(
             0, K, body_soft, init
         )
-        denom = jnp.maximum(acc_w, 1e-20)[:, None]
+        # All-underflowed windows must not match a zero blend.
+        best_sq = jnp.where(acc_w < 1e-30, jnp.inf, best_sq)
+        denom = jnp.maximum(acc_w, 1e-30)[:, None]
         best_xyz = acc_xyz / denom
         best_nrm = acc_nrm / denom
     else:

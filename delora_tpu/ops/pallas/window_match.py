@@ -61,25 +61,32 @@ def _match_body(src, tgt_full, *, H: int, wv: int, wu: int, halo: int,
             sq = jnp.sum(d * d, axis=0)                   # [H, WT]
             sq = jnp.where(cand[6] > 0.5, sq, jnp.inf)
             if soft_sigma > 0.0:
-                M_new = jnp.minimum(best_sq, sq)
-                scale = jnp.where(
-                    jnp.isfinite(best_sq),
-                    jnp.exp((M_new - best_sq) * inv_tau), 0.0,
-                )
+                # UNNORMALIZED accumulation (no max-shift): at practical
+                # sigma (~0.3 m) f32 covers exp(-sq/sigma^2) directly for
+                # every candidate that matters (underflow starts ~sq > 8 m^2,
+                # far past the trim radius); pairs whose whole window
+                # underflows are masked via the acc_w floor downstream. The
+                # streaming-rescale form tripled Mosaic's per-grid-step
+                # stack (3 temps x K unrolled iterations -> 46 MB scoped
+                # OOM at K=153) — this form matches the hard body's budget.
                 w = jnp.where(
-                    jnp.isfinite(sq), jnp.exp((M_new - sq) * inv_tau), 0.0
+                    jnp.isfinite(sq), jnp.exp(-sq * inv_tau), 0.0
                 )
-                best_sq = M_new
-                acc_w = acc_w * scale + w
-                best_xyz = best_xyz * scale[None] + w[None] * cand[0:3]
-                best_nrm = best_nrm * scale[None] + w[None] * cand[3:6]
+                best_sq = jnp.minimum(best_sq, sq)
+                acc_w = acc_w + w
+                best_xyz = best_xyz + w[None] * cand[0:3]
+                best_nrm = best_nrm + w[None] * cand[3:6]
             else:
                 better = sq < best_sq
                 best_sq = jnp.where(better, sq, best_sq)
                 best_xyz = jnp.where(better[None], cand[0:3], best_xyz)
                 best_nrm = jnp.where(better[None], cand[3:6], best_nrm)
     if soft_sigma > 0.0:
-        denom = jnp.maximum(acc_w, 1e-20)[None]
+        # Pairs whose entire window underflowed (all w = 0) must not match a
+        # zero blend: mark them missed (sq = inf -> valid False downstream).
+        dead = acc_w < 1e-30
+        best_sq = jnp.where(dead, jnp.inf, best_sq)
+        denom = jnp.maximum(acc_w, 1e-30)[None]
         best_xyz = best_xyz / denom
         best_nrm = best_nrm / denom
     return best_sq, best_xyz, best_nrm
