@@ -382,6 +382,14 @@ def image_space_correspondence_batch(
         sq_out = jnp.where(valid, jnp.sum(dd * dd, axis=-1), jnp.inf)
         return Correspondence(tgt_pts, tgt_nrm, valid, sq_out)
 
+    if backend == "auto" and soft_sigma > 0.0:
+        # The soft Pallas kernel works standalone (tests, explicit
+        # backend="pallas") but in-step its chunked lax.map gets its stacked
+        # operands staged in scoped VMEM by XLA (71.7M vs the 16M budget at
+        # 32x720 wv=9, jvp context) — route auto through the XLA loop.
+        # Quality-run cost: K*HW elementwise per scan (~ms-scale); the
+        # throughput bench's default remains the hard Pallas matcher.
+        return _xla()
     if backend == "auto":
         from delora_tpu.ops.pallas.window_match import (
             fits_vmem, tile_width_for,
