@@ -38,6 +38,11 @@ class IcpLossConfig(NamedTuple):
     po2po_alone: bool = False         # ALL pairs, po2po only (icp_losses.py:36-46)
     normal_loss: str = "squared"      # "squared" | "linear"
     lambda_po2pl: float = 1.0
+    lambda_pl2pl: float = 1.0         # r19: pl2pl rides quantization-noisy
+                                      # normals; its floor (~0.21) drowns
+                                      # po2pl's precise signal (~0.005) —
+                                      # down-weighting it raises the pose
+                                      # gradient SNR. 1.0 = reference parity
     trim_sq_distance: float = 0.0     # >0: reject pairs with NN dist^2 above
 
     @classmethod
@@ -50,6 +55,7 @@ class IcpLossConfig(NamedTuple):
             po2po_alone=bool(config.get("po2po_alone", False)),
             normal_loss=str(config["normal_loss"]),
             lambda_po2pl=float(config["lambda_po2pl"]),
+            lambda_pl2pl=float(config.get("lambda_pl2pl", 1.0)),
             trim_sq_distance=trim * trim,
         )
 
@@ -124,6 +130,6 @@ def icp_losses(
     losses["loss_pc"] = (
         losses["loss_po2po"]
         + cfg.lambda_po2pl * losses["loss_po2pl"]
-        + losses["loss_pl2pl"]
+        + cfg.lambda_pl2pl * losses["loss_pl2pl"]
     )
     return losses

@@ -55,6 +55,10 @@ def main():
                          "vertically, outside the default (5, 9) capture "
                          "range — wider windows let the matcher find the "
                          "true correspondent instead of a sliding one")
+    ap.add_argument("--pl2pl", type=float, default=None,
+                    help="lambda_pl2pl weight (default 1; lower raises the "
+                         "po2pl pose-gradient SNR over the noisy normal "
+                         "alignment floor)")
     ap.add_argument("--cosine", action="store_true",
                     help="cosine lr decay over the whole run (settles the "
                          "late-epoch pose wander)")
@@ -134,6 +138,8 @@ def main():
         overrides["po2pl_trim_distance"] = args.trim
     if args.soft is not None:
         overrides["soft_match_sigma"] = args.soft
+    if args.pl2pl is not None:
+        overrides["lambda_pl2pl"] = args.pl2pl
     if args.cosine:
         steps_per_epoch = max(1, (args.scans - 1) // args.batch_size)
         overrides["lr_schedule"] = "cosine"

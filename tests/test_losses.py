@@ -144,3 +144,33 @@ def test_po2po_alone_mode():
     assert float(out["loss_pl2pl"]) == 0.0
     assert np.isclose(float(out["loss_pc"]), ref, rtol=1e-5)
     assert int(out["num_po2pl_pairs"]) == 40
+
+
+def test_lambda_pl2pl_weights_the_combined_loss():
+    """lambda_pl2pl scales pl2pl's contribution to loss_pc (1.0 = reference
+    parity, where the weight is hardwired)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from delora_tpu.losses.icp import IcpLossConfig, icp_losses
+    from delora_tpu.ops.correspondence import Correspondence
+
+    S = 16
+    rng = np.random.default_rng(0)
+    sp = jnp.asarray(rng.normal(size=(S, 3)).astype(np.float32))
+    sn = jnp.asarray(rng.normal(size=(S, 3)).astype(np.float32))
+    valid = jnp.ones(S, bool)
+    corr = Correspondence(
+        target_points=sp + 0.1, target_normals=sn + 0.05,
+        valid=valid, sq_dist=jnp.full(S, 0.01),
+    )
+    full = icp_losses(sp, sn, valid, corr, IcpLossConfig())
+    tenth = icp_losses(sp, sn, valid, corr,
+                       IcpLossConfig(lambda_pl2pl=0.1))
+    np.testing.assert_allclose(float(tenth["loss_pl2pl"]),
+                               float(full["loss_pl2pl"]))  # raw term equal
+    np.testing.assert_allclose(
+        float(tenth["loss_pc"]),
+        float(full["loss_po2pl"]) + 0.1 * float(full["loss_pl2pl"]),
+        rtol=1e-6,
+    )
