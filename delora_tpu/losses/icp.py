@@ -127,9 +127,15 @@ def icp_losses(
                 jnp.sum(ndiff * ndiff, axis=-1), both_normals
             )
 
+    # At the default weight the multiply is skipped so the traced graph (and
+    # the persistent-compile-cache key) is bit-identical to the pre-knob one.
+    pl2pl_term = (
+        losses["loss_pl2pl"] if cfg.lambda_pl2pl == 1.0
+        else cfg.lambda_pl2pl * losses["loss_pl2pl"]
+    )
     losses["loss_pc"] = (
         losses["loss_po2po"]
         + cfg.lambda_po2pl * losses["loss_po2pl"]
-        + cfg.lambda_pl2pl * losses["loss_pl2pl"]
+        + pl2pl_term
     )
     return losses
