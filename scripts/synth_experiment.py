@@ -55,6 +55,8 @@ def main():
                          "vertically, outside the default (5, 9) capture "
                          "range — wider windows let the matcher find the "
                          "true correspondent instead of a sliding one")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="training seed (epoch shuffling / loader order)")
     ap.add_argument("--pl2pl", type=float, default=None,
                     help="lambda_pl2pl weight (default 1; lower raises the "
                          "po2pl pose-gradient SNR over the noisy normal "
@@ -138,6 +140,8 @@ def main():
         overrides["po2pl_trim_distance"] = args.trim
     if args.soft is not None:
         overrides["soft_match_sigma"] = args.soft
+    if args.seed is not None:
+        overrides["seed"] = args.seed
     if args.pl2pl is not None:
         overrides["lambda_pl2pl"] = args.pl2pl
     if args.cosine:
