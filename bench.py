@@ -271,12 +271,27 @@ def main():
 
         _fstep_cost = _mk(model, cfg, donate=False)
         # Lowered (pre-compile) cost analysis: the flops count comes from the
-        # HLO itself, so no 300 s+ backend compile is paid here.
+        # HLO itself, so no 300 s+ backend compile is paid here. Some
+        # platforms (the axon relay) return None pre-compile — fall back to
+        # the compiled analysis of the K-dispatch program (its executable was
+        # just built/cache-loaded above, so .compile() is cheap) and divide
+        # by the steps per dispatch.
         ca = _fstep_cost.lower(
             state, fbatch, jax.random.PRNGKey(0)
         ).cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
+        if ca is None or not ca.get("flops", 0.0):
+            ca2 = (
+                mfn.lower(state, jax.random.PRNGKey(4), tables, ti, si)
+                .compile()
+                .cost_analysis()
+            )
+            if isinstance(ca2, (list, tuple)):
+                ca2 = ca2[0]
+            ca = {"flops": float(ca2.get("flops", 0.0)) / KS}
+            log(f"MFU via K-dispatch compiled analysis: "
+                f"{ca['flops'] / 1e9:.2f} GFLOP/step (scan program / {KS})")
         flops = float(ca.get("flops", 0.0))
         peak = float(
             __import__("os").environ.get("BENCH_PEAK_TFLOPS", 197.0)
