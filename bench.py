@@ -289,9 +289,14 @@ def main():
             )
             if isinstance(ca2, (list, tuple)):
                 ca2 = ca2[0]
-            ca = {"flops": float(ca2.get("flops", 0.0)) / KS}
+            # XLA's cost analysis counts a while-loop body ONCE, so the
+            # scan program's flops ARE the per-step cost (verified: it
+            # reports 807.11 GFLOP — exactly the single-step program's
+            # number).
+            ca = {"flops": float(ca2.get("flops", 0.0))}
             log(f"MFU via K-dispatch compiled analysis: "
-                f"{ca['flops'] / 1e9:.2f} GFLOP/step (scan program / {KS})")
+                f"{ca['flops'] / 1e9:.2f} GFLOP/step "
+                f"(while body counted once)")
         flops = float(ca.get("flops", 0.0))
         peak = float(
             __import__("os").environ.get("BENCH_PEAK_TFLOPS", 197.0)
