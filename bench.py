@@ -407,6 +407,20 @@ def main():
         log(f"augment bench failed: {type(e).__name__}: {e}")
         extra["augment_pairs_per_sec"] = None
 
+    # ---- Emit the artifact NOW: every required field (headline, latency
+    # p50s, MFU, Pallas parity, augment) is gathered, and the remaining
+    # diagnostics can cost minutes of unstable-keyed compiles. If the
+    # harness kills the process on an external deadline during those, the
+    # JSON line has already been printed (BENCH_r03 lost its diagnostics to
+    # exactly this failure mode). Diagnostics below log to stderr only.
+    print(json.dumps({
+        "metric": "scan_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / 10.0, 3),
+        **extra,
+    }), flush=True)
+
     # ---- Diagnostics (best effort, deadline-guarded, stderr only). ----
     def diagnostics():
         nonlocal state
@@ -428,7 +442,6 @@ def main():
                 _, m = fstep(state, fbatch, jax.random.PRNGKey(200 + k))
             sync(m["loss"])
             el = time.time() - t0
-            extra["single_dispatch_pairs_per_sec"] = round(K * B / el, 3)
             log(f"single-dispatch (fullcached+image): {K} steps x {B} pairs "
                 f"in {el:.2f}s -> {K * B / el:.2f} pairs/s "
                 f"({el / K * 1000:.1f} ms/step)")
@@ -500,14 +513,6 @@ def main():
         diagnostics()
     except Exception as e:  # diagnostics must never eat the headline
         log(f"diagnostics aborted: {type(e).__name__}: {e}")
-
-    print(json.dumps({
-        "metric": "scan_pairs_per_sec_per_chip",
-        "value": round(pairs_per_sec, 3),
-        "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_sec / 10.0, 3),
-        **extra,
-    }))
 
 
 if __name__ == "__main__":

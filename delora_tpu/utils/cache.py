@@ -26,7 +26,40 @@ def enable_persistent_cache(directory: str | None = None) -> str:
             ),
         )
     os.makedirs(directory, exist_ok=True)
+    _hydrate_from_seed(directory)
     jax.config.update("jax_compilation_cache_dir", directory)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return directory
+
+
+def _hydrate_from_seed(directory: str) -> int:
+    """Copy missing entries from the git-tracked seed into the live cache.
+
+    A fresh checkout starts with an empty ``.jax_cache/`` — on this TPU
+    toolchain that means 150-300 s of cold compiles before the first useful
+    step, which has previously cost the round's bench artifact its
+    diagnostics (docs/BENCH_NOTES.md r20). ``.jax_cache_seed/`` holds the
+    stable-keyed programs of the bench/train hot path (refresh with
+    ``scripts/seed_compile_cache.py``). Entries are keyed by XLA on
+    (program, jaxlib, backend, flags) — on any mismatch the key simply never
+    hits and XLA recompiles, so a stale seed is dead weight, never wrong.
+    Hardlink when possible, fall back to copy.
+    """
+    seed = os.path.join(os.path.dirname(directory), ".jax_cache_seed")
+    if not os.path.isdir(seed):
+        return 0
+    import shutil
+
+    n = 0
+    for name in os.listdir(seed):
+        dst = os.path.join(directory, name)
+        if os.path.exists(dst):
+            continue
+        src = os.path.join(seed, name)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+        n += 1
+    return n
