@@ -122,23 +122,36 @@ def _create_cloud(header, fields, points):
 
 
 class _Bag:
-    """rosbag.Bag stand-in: records (topic, msg, t) tuples per path."""
+    """rosbag.Bag stand-in: (topic, msg, t) tuples, stored per path."""
 
     store = {}
 
-    def __init__(self, path, mode):
-        assert mode == "w"
+    def __init__(self, path, mode="r"):
         self.path = path
-        self.records = []
+        self.mode = mode
+        self.records = [] if mode == "w" else _Bag.store[path]
 
     def write(self, topic, msg, t):
+        assert self.mode == "w"
         self.records.append((topic, msg, t))
+
+    def get_message_count(self, topic_filters=None):
+        if topic_filters and topic_filters != [None]:
+            return sum(1 for r in self.records if r[0] in topic_filters)
+        return len(self.records)
+
+    def read_messages(self, topics=None):
+        for topic, msg, t in self.records:
+            if topics and topics != [None] and topic not in topics:
+                continue
+            yield topic, msg, t
 
     def __enter__(self):
         return self
 
     def __exit__(self, *exc):
-        _Bag.store[self.path] = self.records
+        if self.mode == "w":
+            _Bag.store[self.path] = self.records
         return False
 
 
@@ -302,3 +315,38 @@ def test_write_bag_sequences_scans(monkeypatch, tmp_path):
         assert msg.header.frame_id == "velodyne"
         # Header is stamped per message, not shared (mutation bug guard).
         assert msg.header.stamp.to_sec() == pytest.approx(i * 0.1)
+
+
+def test_bag_roundtrip_through_reader(monkeypatch, tmp_path):
+    """KITTI->bag->training-reader round trip: write_bag's output read back
+    by RosbagSequenceReader's real-bag branch (reference
+    src/data/rosbag_scans.py:15-40 semantics: topic selection, message
+    count, NaN/zero/min-range filtering)."""
+    _install_ros_stubs(monkeypatch)
+    sys.path.insert(0, "scripts")
+    try:
+        eks = importlib.reload(importlib.import_module("export_kitti_sequence"))
+    finally:
+        sys.path.remove("scripts")
+
+    rng = np.random.default_rng(7)
+    scans = [rng.normal(size=(50, 4)).astype(np.float32) * 5 for _ in range(3)]
+    scans[1][0] = [np.nan, 1, 1, 0]        # dropped by read_points skip_nans
+    scans[1][1] = [0.05, 0.05, 0.0, 1.0]   # dropped by filter_points (<0.3 m)
+    out = str(tmp_path / "7.bag")
+    assert eks.write_bag(scans, out) == 3
+    open(out, "wb").close()                 # glob needs the file on disk
+
+    from delora_tpu.data.rosbag import RosbagSequenceReader
+
+    reader = RosbagSequenceReader(str(tmp_path), 7, topic="/velodyne_points")
+    assert reader._bag_path == out
+    assert len(reader) == 3
+    read = list(reader)
+    assert [s.shape for s in read] == [(50, 3), (48, 3), (50, 3)]
+    np.testing.assert_allclose(read[0], scans[0][:, :3], atol=1e-6)
+    np.testing.assert_allclose(read[1], scans[1][2:, :3], atol=1e-6)
+
+    # Wrong topic -> zero messages, same as rosbag's topic filtering.
+    empty = RosbagSequenceReader(str(tmp_path), 7, topic="/other")
+    assert len(empty) == 0 and list(empty) == []
