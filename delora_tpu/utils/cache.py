@@ -11,6 +11,12 @@ from __future__ import annotations
 
 import os
 
+# Repo root (the directory holding delora_tpu/): both the default live cache
+# and the git-tracked seed anchor here, so hydration works no matter where
+# DELORA_JAX_CACHE or an explicit ``directory`` points.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 
 def enable_persistent_cache(directory: str | None = None) -> str:
     """Idempotently enable the JAX persistent compilation cache."""
@@ -19,12 +25,9 @@ def enable_persistent_cache(directory: str | None = None) -> str:
     if directory is None:
         directory = os.environ.get(
             "DELORA_JAX_CACHE",
-            os.path.join(
-                os.path.dirname(os.path.dirname(os.path.dirname(
-                    os.path.abspath(__file__)))),
-                ".jax_cache",
-            ),
+            os.path.join(_REPO_ROOT, ".jax_cache"),
         )
+    directory = os.path.normpath(directory)
     os.makedirs(directory, exist_ok=True)
     _hydrate_from_seed(directory)
     jax.config.update("jax_compilation_cache_dir", directory)
@@ -33,7 +36,7 @@ def enable_persistent_cache(directory: str | None = None) -> str:
     return directory
 
 
-def _hydrate_from_seed(directory: str) -> int:
+def _hydrate_from_seed(directory: str, seed: str | None = None) -> int:
     """Copy missing entries from the git-tracked seed into the live cache.
 
     A fresh checkout starts with an empty ``.jax_cache/`` — on this TPU
@@ -44,9 +47,14 @@ def _hydrate_from_seed(directory: str) -> int:
     ``scripts/seed_compile_cache.py``). Entries are keyed by XLA on
     (program, jaxlib, backend, flags) — on any mismatch the key simply never
     hits and XLA recompiles, so a stale seed is dead weight, never wrong.
-    Hardlink when possible, fall back to copy.
+
+    The seed lives at the REPO ROOT (not as a sibling of ``directory``):
+    custom DELORA_JAX_CACHE locations still hydrate. Entries are COPIED,
+    never hardlinked — sharing inodes with the git-tracked seed would let a
+    cache rewrite corrupt the committed blobs.
     """
-    seed = os.path.join(os.path.dirname(directory), ".jax_cache_seed")
+    if seed is None:
+        seed = os.path.join(_REPO_ROOT, ".jax_cache_seed")
     if not os.path.isdir(seed):
         return 0
     import shutil
@@ -56,10 +64,6 @@ def _hydrate_from_seed(directory: str) -> int:
         dst = os.path.join(directory, name)
         if os.path.exists(dst):
             continue
-        src = os.path.join(seed, name)
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copy2(src, dst)
+        shutil.copy2(os.path.join(seed, name), dst)
         n += 1
     return n

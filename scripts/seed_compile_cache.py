@@ -44,15 +44,21 @@ def main() -> int:
         help="skip entries whose filename contains any of these substrings",
     )
     ap.add_argument(
+        "--merge", action="store_true",
+        help="keep pre-existing seed entries (default is an exact snapshot: "
+             "entries absent from the live cache are pruned, so refreshes "
+             "replace stale blobs in git history instead of accreting them)",
+    )
+    ap.add_argument(
         "--fresh", action="store_true",
-        help="clear the seed dir first (exact snapshot instead of a merge)",
+        help="(default behavior; kept for compatibility) exact snapshot",
     )
     args = ap.parse_args()
 
     if not os.path.isdir(args.cache):
         print(f"no cache at {args.cache}", file=sys.stderr)
         return 1
-    if args.fresh and os.path.isdir(args.seed):
+    if not args.merge and os.path.isdir(args.seed):
         shutil.rmtree(args.seed)
     os.makedirs(args.seed, exist_ok=True)
 
