@@ -88,6 +88,35 @@ class CheckpointManager:
                                 self._path(f"epoch_{epoch:05d}_meta.json"))
         self._barrier(f"ckpt_done_{epoch}")
 
+    def save_named(self, state, name: str, epoch: int, loss: float,
+                   config: Dict[str, Any], extra_meta: Dict[str, Any] = None):
+        """Overwrite a single named checkpoint (e.g. ``best``) + its meta.
+
+        Same multi-process contract as :meth:`save` (all processes call in,
+        process 0 mutates the filesystem, barriers fence the phases), but no
+        durable per-epoch copies — the caller owns the retention policy.
+        """
+        is_primary = jax.process_index() == 0
+        payload = {"params": state.params, "opt_state": state.opt_state,
+                   "step": state.step}
+        target = self._path(name)
+        if is_primary and os.path.exists(target):
+            shutil.rmtree(target)
+        self._barrier(f"ckpt_pre_save_{name}_{epoch}")
+        self._ckptr.save(target, payload)
+        self._ckptr.wait_until_finished()
+        self._barrier(f"ckpt_post_save_{name}_{epoch}")
+        if is_primary:
+            meta = {
+                "epoch": epoch,
+                "loss": float(loss),
+                "parameters": json.loads(_config_to_json(config)),
+            }
+            meta.update(extra_meta or {})
+            with open(self._path(f"{name}_meta.json"), "w") as f:
+                json.dump(meta, f)
+        self._barrier(f"ckpt_done_{name}_{epoch}")
+
     def restore(self, state, name: str = "latest") -> Tuple[Any, Dict[str, Any]]:
         """Restore into an abstract/concrete state of matching structure.
 

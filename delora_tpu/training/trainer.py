@@ -234,6 +234,56 @@ class Trainer:
 
         self._steps: Dict[tuple, callable] = {}
         self._viz_fns: Dict[str, callable] = {}
+        # In-training eval + best-state retention (eval_every_epochs).
+        self.best_eval: Optional[tuple] = None   # (score, epoch)
+
+    def evaluate(self, epoch: int) -> Optional[float]:
+        """Run the Tester's trajectory metric on the TESTING identifiers with
+        the current parameters; keep the best state as a ``best/`` checkpoint.
+
+        The reference evaluates offline only (reference src/deploy/tester.py:109
+        — a separate run_testing invocation after training); in-training
+        validation is the TPU framework's addition: the unsupervised pose
+        objective has a shallow basin whose late-epoch wander makes the final
+        epoch a lottery (docs/BENCH_NOTES.md r19), so periodic trajectory
+        evaluation + best-checkpoint retention is how a user actually picks a
+        deployable state. Enable with ``eval_every_epochs: N``; the score is
+        the mean first metric (t_rel % for >=100 m sequences, else RPE m/step)
+        over every evaluated sequence with ground truth.
+
+        Single-process only (like image logging: the eval programs are jitted
+        outside the mesh; multi-process runs evaluate offline via the CLI).
+        """
+        if jax.process_count() > 1:
+            return None
+        from delora_tpu.training.tester import Tester
+
+        cfg_t = dict(self.config)
+        for name in self.datasets:
+            spec = dict(cfg_t[name])
+            spec["data_identifiers"] = list(spec["testing_identifiers"])
+            cfg_t[name] = spec
+        tester = Tester(cfg_t, state=self.state,
+                        run_name=f"{self.run_name}_eval_ep{epoch:04d}")
+        results = tester.test()
+        vals = [m[0] for seqs in results.values() for m in seqs.values() if m]
+        if not vals:
+            return None
+        score = float(np.mean(vals))
+        self.logger.log_metrics({"eval_score": score}, step=epoch)
+        sofar = (f"best so far {self.best_eval[0]:.3f} @ {self.best_eval[1]}"
+                 if self.best_eval else "first eval")
+        print(f"[trainer] eval @ epoch {epoch}: score={score:.3f} ({sofar})",
+              flush=True)
+        if self.best_eval is None or score < self.best_eval[0]:
+            self.best_eval = (score, epoch)
+            self.ckpt.save_named(
+                self.state, "best", epoch, score, self.config,
+                extra_meta={"eval_score": score},
+            )
+            print(f"[trainer] new best eval score {score:.3f} -> "
+                  f"checkpoint 'best'", flush=True)
+        return score
 
     def _scan_steps_fn(self, dataset: str, k_steps: int):
         """K optimizer steps per dispatch: ``lax.scan`` over the fullcached
@@ -548,6 +598,12 @@ class Trainer:
                 # one image grid per dataset, deployer.py:91-100).
                 for ds_name in self.datasets:
                     self.log_images(epoch, ds_name)
+
+            eval_every = int(self.config.get("eval_every_epochs", 0))
+            if eval_every and not self.supervised and (
+                (epoch + 1) % eval_every == 0 or epoch == epochs - 1
+            ):
+                self.evaluate(epoch)
 
             # Warmup auto-switch (trainer.py:184-186).
             if self.supervised and metrics["loss"] < 1e-2:

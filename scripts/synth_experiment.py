@@ -78,7 +78,13 @@ def main():
                          "failure)")
     ap.add_argument("--eval-every", type=int, default=0,
                     help="evaluate the trajectory metric every N epochs "
-                         "(staged training; shows optimization transients)")
+                         "(Trainer eval_every_epochs: in-training validation "
+                         "+ best-state retention as a 'best/' checkpoint)")
+    ap.add_argument("--feed", default=None, choices=["full", "cached"],
+                    help="training feed: 'full' = fullcached (default; "
+                         "augment re-projects cached survivors on device), "
+                         "'cached' = cached-target (deviation-free augment, "
+                         "source projected on device each step)")
     ap.add_argument("--tag", default=None,
                     help="suffix for checkpoint/log dirs so multiple arms "
                          "share one workdir's raw + preprocessed data")
@@ -149,6 +155,10 @@ def main():
         overrides["lr_schedule"] = "cosine"
         overrides["lr_decay_steps"] = args.epochs * steps_per_epoch
         overrides["lr_min_ratio"] = 0.05
+    if args.eval_every:
+        overrides["eval_every_epochs"] = args.eval_every
+    if args.feed == "cached":
+        overrides["cache_source_projections"] = False
     if args.small:
         overrides.update({"resnet_outputs": 128, "layers": [1, 1, 1, 1],
                           "factor_fewer_resnet_channels": 4})
@@ -168,43 +178,26 @@ def main():
     trainer = Trainer(config, run_name="synth")
     config_t = load_config(overrides=overrides, mode="testing")
 
-    best = None                                   # (t_rel, epoch, params)
-    if args.eval_every and args.eval_every < args.epochs:
-        # Staged training: evaluate the trajectory metric every N epochs so
-        # transients (a good state the optimizer later leaves) are visible,
-        # and keep the BEST validated state (standard early stopping — the
-        # optimizer wanders around the shallow pose basin late in training,
-        # so the final epoch is a lottery; validation selection is how the
-        # reference's own users would pick a checkpoint on KITTI val
-        # sequences).
-        import jax
+    # In-training validation + best-state retention now lives in the Trainer
+    # itself (eval_every_epochs -> Trainer.evaluate: Tester metric on the
+    # testing identifiers, best state kept as a 'best/' checkpoint).
+    trainer.train(max_epochs=args.epochs)
 
-        done = trainer.start_epoch
-        while done < args.epochs:
-            stage_end = min(done + args.eval_every, args.epochs)
-            trainer.start_epoch = done     # resume where the stage left off
-            trainer.train(max_epochs=stage_end)
-            done = stage_end
-            tester = Tester(config_t, state=trainer.state,
-                            run_name=f"synth_eval_ep{done:04d}")
-            r = tester.test()
-            print(f"[synth] eval @ epoch {done}:", r, flush=True)
-            vals = [m for seqs in r.values() for m in seqs.values() if m]
-            if vals and (best is None or vals[0][0] < best[0]):
-                best = (vals[0][0], done,
-                        jax.device_get(trainer.state.params))
-        if best is not None:
-            print(f"[synth] BEST validated state: t_rel={best[0]:.3f}% "
-                  f"@ epoch {best[1]}", flush=True)
-            trainer.state = trainer.state.replace(params=jax.device_put(
-                best[2]))
-    else:
-        trainer.train(max_epochs=args.epochs)
-
-    # Evaluate (the best validated state when staged, else the final state).
+    # FINAL-EPOCH evaluation — the headline number (no selection).
     tester = Tester(config_t, state=trainer.state, run_name="synth_eval")
     results = tester.test()
-    print("[synth] results:", results)
+    print("[synth] results (final epoch):", results)
+
+    # If in-training validation ran, ALSO evaluate the retained best state
+    # (what a user deploying from this run would actually pick).
+    if trainer.best_eval is not None:
+        score, ep = trainer.best_eval
+        print(f"[synth] best validated state: score={score:.3f} @ epoch {ep}")
+        best_state, _ = trainer.ckpt.restore(trainer.state, "best")
+        best_results = Tester(
+            config_t, state=best_state, run_name="synth_eval_best"
+        ).test()
+        print("[synth] results (best checkpoint):", best_results)
 
     # Baseline comparison: identity odometry (no motion at all).
     from delora_tpu.data.pose_data import load_kitti_poses

@@ -138,3 +138,61 @@ def test_cached_eval_matches_uncached(gt_world):
     # fed unnormalized ~70 m ranges that noise reaches ~1e-2 in T. The
     # images themselves are bit-parity-tested in tests/test_cached_target.py.
     np.testing.assert_allclose(rel_a, rel_b, atol=0.05)
+
+
+def test_trainer_in_training_eval_retains_best(gt_world):
+    """eval_every_epochs: the Trainer runs the Tester's trajectory metric on
+    the TESTING identifiers during training and retains the best state as a
+    'best/' checkpoint (in-training validation — the reference evaluates
+    offline only, reference src/deploy/tester.py:109)."""
+    import jax.numpy as jnp
+
+    from delora_tpu.config import load_config
+    from delora_tpu.training.trainer import Trainer
+
+    tmp, base = gt_world
+    config = load_config(overrides={
+        "datasets": ["kitti"],
+        "kitti": dict(base["kitti"]),
+        "batch_size": 4,
+        "learning_rate": 1e-4,
+        "resnet_outputs": 16,
+        "layers": [1, 1, 1, 1],
+        "factor_fewer_resnet_channels": 32,
+        "compute_dtype": "float32",
+        "checkpoint_dir": str(tmp / "ckpt_eval"),
+        "log_dir": str(tmp / "runs"),
+        "epsilon_range": 1.0,
+        "unsupervised_at_start": True,   # eval gates on unsupervised phase
+        "eval_every_epochs": 1,
+        "visualize_images": False,
+        "inference_only": True,
+    }, mode="training")
+
+    trainer = Trainer(config, run_name="eval_train")
+    trainer.train(max_epochs=2)
+
+    # Both epochs evaluated; the best (lowest) score was retained.
+    assert trainer.best_eval is not None
+    score, epoch = trainer.best_eval
+    assert np.isfinite(score) and epoch in (0, 1)
+    assert os.path.exists(str(tmp / "ckpt_eval" / "best"))
+    import json
+
+    with open(str(tmp / "ckpt_eval" / "best_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["epoch"] == epoch
+    assert meta["eval_score"] == pytest.approx(score)
+
+    # The best checkpoint restores into a usable state.
+    restored, rmeta = trainer.ckpt.restore(trainer.state, "best")
+    assert int(rmeta["epoch"]) == epoch
+    leaves = [np.asarray(x) for x in
+              __import__("jax").tree_util.tree_leaves(restored.params)]
+    assert all(np.isfinite(leaf).all() for leaf in leaves)
+
+    # eval_score was logged to the metrics stream.
+    metrics_file = str(tmp / "runs" / config["experiment"] / "eval_train" /
+                      "metrics.jsonl")
+    logged = [json.loads(line) for line in open(metrics_file)]
+    assert any("eval_score" in row for row in logged)
