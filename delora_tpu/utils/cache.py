@@ -18,8 +18,14 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def enable_persistent_cache(directory: str | None = None) -> str:
-    """Idempotently enable the JAX persistent compilation cache."""
+def enable_persistent_cache(directory: str | None = None,
+                            hydrate: bool = True) -> str:
+    """Idempotently enable the JAX persistent compilation cache.
+
+    ``hydrate=False`` skips seeding from the git-tracked TPU-program seed —
+    for CPU-only harnesses (multiprocess smoke) where the seed entries could
+    never hit and copying them is pure IO waste.
+    """
     import jax
 
     if directory is None:
@@ -29,7 +35,8 @@ def enable_persistent_cache(directory: str | None = None) -> str:
         )
     directory = os.path.normpath(directory)
     os.makedirs(directory, exist_ok=True)
-    _hydrate_from_seed(directory)
+    if hydrate:
+        _hydrate_from_seed(directory)
     jax.config.update("jax_compilation_cache_dir", directory)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
