@@ -45,13 +45,64 @@ def _match_body(src, tgt_full, *, H: int, wv: int, wu: int, halo: int,
     best_sq = jnp.full((H, WT), jnp.inf, jnp.float32)
     best_xyz = jnp.zeros((3, H, WT), jnp.float32)
     best_nrm = jnp.zeros((3, H, WT), jnp.float32)
-    if soft_sigma > 0.0:
-        inv_tau = 1.0 / float(soft_sigma) ** 2
-        acc_w = jnp.zeros((H, WT), jnp.float32)
 
-    # Both window loops are STATIC (K = wv*wu vector-op bodies): Mosaic
-    # requires 8-aligned sublane slice starts, so the vertical offset is a
-    # sublane ROLL + aligned [0:H] slice instead of a dynamic slice.
+    if soft_sigma > 0.0:
+        # SOFT blend. The outer dv loop is a REAL ``fori_loop`` with a
+        # dynamic sublane roll (pltpu.roll takes traced shifts), not an
+        # unrolled Python loop: fully unrolling K = wv*wu soft bodies
+        # multiplied Mosaic's per-grid-step stack by the iteration count
+        # (measured 46.05 MB scoped OOM at (32, 720) wv=9 wu=17 — the extra
+        # exp/accumulator temporaries of every unrolled body stay live),
+        # which forced the chunked-lax.map path whose stacked operands then
+        # blew scoped VMEM inside the train step's jvp (71.7 MB,
+        # correspondence.py r4). Looping dv keeps only wu unrolled bodies —
+        # the same order as the hard path's budget — so the kernel compiles
+        # DIRECT at the hard cap and the in-step auto backend can use it.
+        #
+        # UNNORMALIZED accumulation (no max-shift): at practical sigma
+        # (~0.3 m) f32 covers exp(-sq/sigma^2) directly for every candidate
+        # that matters (underflow starts ~sq > 8 m^2, far past the trim
+        # radius); pairs whose whole window underflows are masked via the
+        # acc_w floor downstream.
+        inv_tau = 1.0 / float(soft_sigma) ** 2
+
+        def dv_body(dv, carry):
+            best_sq, acc_w, acc_xyz, acc_nrm = carry
+            slab = pltpu.roll(tgt_full, (Hp - dv) % Hp, axis=1)[:, :H, :]
+            for du in range(-bu, bu + 1):
+                # cand[j] = slab[j + du + halo]; shift must be >= 0.
+                cand = pltpu.roll(
+                    slab, (-(du + halo)) % Wh, axis=2
+                )[:, :, :WT]
+                d = cand[0:3] - src
+                sq = jnp.sum(d * d, axis=0)               # [H, WT]
+                sq = jnp.where(cand[6] > 0.5, sq, jnp.inf)
+                w = jnp.where(
+                    jnp.isfinite(sq), jnp.exp(-sq * inv_tau), 0.0
+                )
+                best_sq = jnp.minimum(best_sq, sq)
+                acc_w = acc_w + w
+                acc_xyz = acc_xyz + w[None] * cand[0:3]
+                acc_nrm = acc_nrm + w[None] * cand[3:6]
+            return best_sq, acc_w, acc_xyz, acc_nrm
+
+        best_sq, acc_w, best_xyz, best_nrm = jax.lax.fori_loop(
+            0, wv, dv_body,
+            (best_sq, jnp.zeros((H, WT), jnp.float32), best_xyz, best_nrm),
+        )
+        # Pairs whose entire window underflowed (all w = 0) must not match a
+        # zero blend: mark them missed (sq = inf -> valid False downstream).
+        dead = acc_w < 1e-30
+        best_sq = jnp.where(dead, jnp.inf, best_sq)
+        denom = jnp.maximum(acc_w, 1e-30)[None]
+        best_xyz = best_xyz / denom
+        best_nrm = best_nrm / denom
+        return best_sq, best_xyz, best_nrm
+
+    # HARD argmin. Both window loops are STATIC (K = wv*wu vector-op
+    # bodies): Mosaic requires 8-aligned sublane slice starts, so the
+    # vertical offset is a sublane ROLL + aligned [0:H] slice instead of a
+    # dynamic slice.
     for dv in range(wv):
         slab = pltpu.roll(tgt_full, (-dv) % Hp, axis=1)[:, :H, :]
         for du in range(-bu, bu + 1):
@@ -60,35 +111,10 @@ def _match_body(src, tgt_full, *, H: int, wv: int, wu: int, halo: int,
             d = cand[0:3] - src
             sq = jnp.sum(d * d, axis=0)                   # [H, WT]
             sq = jnp.where(cand[6] > 0.5, sq, jnp.inf)
-            if soft_sigma > 0.0:
-                # UNNORMALIZED accumulation (no max-shift): at practical
-                # sigma (~0.3 m) f32 covers exp(-sq/sigma^2) directly for
-                # every candidate that matters (underflow starts ~sq > 8 m^2,
-                # far past the trim radius); pairs whose whole window
-                # underflows are masked via the acc_w floor downstream. The
-                # streaming-rescale form tripled Mosaic's per-grid-step
-                # stack (3 temps x K unrolled iterations -> 46 MB scoped
-                # OOM at K=153) — this form matches the hard body's budget.
-                w = jnp.where(
-                    jnp.isfinite(sq), jnp.exp(-sq * inv_tau), 0.0
-                )
-                best_sq = jnp.minimum(best_sq, sq)
-                acc_w = acc_w + w
-                best_xyz = best_xyz + w[None] * cand[0:3]
-                best_nrm = best_nrm + w[None] * cand[3:6]
-            else:
-                better = sq < best_sq
-                best_sq = jnp.where(better, sq, best_sq)
-                best_xyz = jnp.where(better[None], cand[0:3], best_xyz)
-                best_nrm = jnp.where(better[None], cand[3:6], best_nrm)
-    if soft_sigma > 0.0:
-        # Pairs whose entire window underflowed (all w = 0) must not match a
-        # zero blend: mark them missed (sq = inf -> valid False downstream).
-        dead = acc_w < 1e-30
-        best_sq = jnp.where(dead, jnp.inf, best_sq)
-        denom = jnp.maximum(acc_w, 1e-30)[None]
-        best_xyz = best_xyz / denom
-        best_nrm = best_nrm / denom
+            better = sq < best_sq
+            best_sq = jnp.where(better, sq, best_sq)
+            best_xyz = jnp.where(better[None], cand[0:3], best_xyz)
+            best_nrm = jnp.where(better[None], cand[3:6], best_nrm)
     return best_sq, best_xyz, best_nrm
 
 
