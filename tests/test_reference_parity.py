@@ -625,3 +625,153 @@ def test_deployment_closure_reference_runtime(tmp_path):
         np.stack([r[0] for r in rel_ref]), rel_ours, rtol=1e-3, atol=2e-4
     )
     np.testing.assert_allclose(poses_ref, poses_ours, rtol=1e-3, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_trained_reference_checkpoint_imports_with_trajectory_parity(tmp_path):
+    """VERDICT r4 #7: exercise the importer on TRAINED-scale weights, not
+    random init. The EXECUTED reference model (parity-harness shims) is
+    trained for a few hundred torch-Adam steps on reference-projected
+    synthetic scans toward a fixed nontrivial pose (the closest achievable
+    proxy for the un-downloadable kitti_example.pth, whose LFS pointer is
+    134 bytes here), saved as the reference trainer's exact checkpoint dict
+    INCLUDING the real optimizer state (reference src/deploy/trainer.py:
+    155-173), imported with utils.torch_import.load_reference_checkpoint,
+    and driven through OUR Tester — the trajectory must match the reference
+    runtime's own inference (reference projection + forward + pose chaining)
+    on the same scans."""
+    from tests.test_e2e import e2e_config, synthesize_kitti_sequence
+
+    synthesize_kitti_sequence(str(tmp_path / "raw"), n_scans=8)
+    config = dict(e2e_config(tmp_path))
+    config["quaternion_normalization"] = "global"  # reference model.py:114
+    from delora_tpu.data.preprocess import Preprocessor
+
+    Preprocessor(config).run_dataset("kitti", progress=False)
+
+    ref_model_mod = _import_reference("models.model")
+    ref_proj_mod = _import_reference("utility.projection")
+    ref_poses_mod = _import_reference("utility.poses")
+
+    ref_model = ref_model_mod.OdometryModel({
+        "device": "cpu",
+        "pre_feature_extraction": False,
+        "activation_fct": "tanh",
+        "resnet_outputs": int(config["resnet_outputs"]),
+        "use_dropout": False,
+        "layers": list(config["layers"]),
+        "factor_fewer_resnet_channels": int(
+            config["factor_fewer_resnet_channels"]),
+        "use_single_mlp_at_output": False,
+    })
+
+    from delora_tpu.ops.projection import ProjectionSpec
+
+    spec = ProjectionSpec.from_config(config, "kitti")
+    layer = ref_proj_mod.ImageProjectionLayer({
+        "device": "cpu",
+        "horizontal_field_of_view": [spec.fov_left, spec.fov_right],
+        "kitti": {
+            "horizontal_cells": spec.width,
+            "vertical_cells": spec.height,
+            "vertical_field_of_view": [spec.fov_down, spec.fov_up],
+        },
+    })
+
+    import glob as glob_mod
+
+    scan_files = sorted(glob_mod.glob(
+        str(tmp_path / "preprocessed" / "00" / "scans" / "*.npy")))
+    assert len(scan_files) == 8
+
+    def ref_project(path):
+        pts = np.load(path).astype(np.float32)
+        with torch.no_grad():
+            img, _, _, _, _ = layer.project_to_img(
+                torch.from_numpy(pts.T[None]), dataset="kitti"
+            )
+        return img                                           # [1, 4, H, W]
+
+    images = [ref_project(p) for p in scan_files]
+    img1 = torch.cat(images[:-1], dim=0)                     # [7, 4, H, W]
+    img2 = torch.cat(images[1:], dim=0)
+
+    # Train toward a fixed nontrivial pose (supervised, like the reference's
+    # identity-fit warmup but with a non-degenerate target so the resulting
+    # trajectory actually moves): t = [0.3, 0.02, 0], q = small yaw. The
+    # quaternion loss compares the ROW-normalized direction: the reference
+    # head's whole-tensor normalization (model.py:114) makes unit rows
+    # unreachable, but the direction is what transform_from_quat consumes.
+    t_tgt = torch.tensor([[0.30, 0.02, 0.0]]).repeat(7, 1)
+    yaw = 0.05
+    q_tgt = torch.tensor(
+        [[0.0, 0.0, np.sin(yaw / 2), np.cos(yaw / 2)]], dtype=torch.float32
+    ).repeat(7, 1)
+    opt = torch.optim.Adam(ref_model.parameters(), lr=1e-3)
+    ref_model.train()
+    loss = None
+    for step in range(150):
+        opt.zero_grad()
+        t, q = ref_model(img1, img2)
+        qn = q / q.norm(dim=-1, keepdim=True).clamp_min(1e-8)
+        loss = ((t - t_tgt) ** 2).sum(-1).mean() + (
+            (qn - q_tgt) ** 2).sum(-1).mean()
+        loss.backward()
+        opt.step()
+    loss = float(loss.detach())
+    assert loss < 1e-3, loss  # it actually trained
+
+    # Save the reference trainer's exact checkpoint layout with the REAL
+    # optimizer state (trainer.py:155-161).
+    ckpt_path = str(tmp_path / "trained_ref.pth")
+    torch.save({
+        "epoch": 299,
+        "model_state_dict": ref_model.state_dict(),
+        "optimizer_state_dict": opt.state_dict(),
+        "loss": loss,
+        "parameters": {"source": "executed-reference training"},
+    }, ckpt_path)
+
+    # ---- import into our framework -> Tester trajectory ------------------
+    import jax.numpy as jnp2
+
+    from delora_tpu.models.odometry import ModelConfig, OdometryModel
+    from delora_tpu.training.state import create_train_state
+    from delora_tpu.training.tester import Tester
+    from delora_tpu.utils import poses as pose_utils
+    from delora_tpu.utils.torch_import import load_reference_checkpoint
+
+    imported = load_reference_checkpoint(
+        ckpt_path, blocks_per_stage=tuple(config["layers"])
+    )
+    model = OdometryModel(ModelConfig.from_config(config))
+    state = create_train_state(
+        model, config, jnp2.zeros((2, 16, 64, 4), jnp2.float32)
+    )
+    state = state.replace(params=jax.tree.map(jnp2.asarray, imported))
+    tester = Tester(config, state=state, run_name="trained_import")
+    rel_ours = tester.predict_sequence("kitti", 0)           # [7, 4, 4]
+    poses_ours = pose_utils.compute_poses(list(rel_ours))
+
+    # ---- reference runtime on the same scans -----------------------------
+    from delora_tpu import se3 as se3_mod
+
+    ref_model.eval()
+    rel_ref = []
+    with torch.no_grad():
+        for k in range(len(images) - 1):
+            t, q = ref_model(images[k], images[k + 1])
+            T = np.asarray(se3_mod.transform_from_quat(
+                jnp.asarray(t.numpy()), jnp.asarray(q.numpy())))[0]
+            rel_ref.append(T[None])
+    poses_ref = ref_poses_mod.compute_poses(rel_ref)
+
+    # The trained model predicts ~0.3 m / ~3 deg steps; the chained 8-pose
+    # trajectories must agree to float tolerance.
+    step_norms = np.linalg.norm(
+        np.stack([r[0][:3, 3] for r in rel_ref]), axis=-1)
+    assert (step_norms > 0.1).all()            # non-degenerate motion
+    np.testing.assert_allclose(
+        np.stack([r[0] for r in rel_ref]), rel_ours, rtol=1e-3, atol=5e-4
+    )
+    np.testing.assert_allclose(poses_ref, poses_ours, rtol=1e-3, atol=2e-3)
