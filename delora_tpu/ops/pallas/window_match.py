@@ -212,18 +212,18 @@ def max_batch_for_shape(H: int, W: int, wv: int, soft: bool = False) -> int:
     4 rows fit. Rather than model XLA's staging precisely, scale the proven
     8-row anchor inversely with the per-row footprint and never exceed it.
 
-    The SOFT blend kernel carries an extra [H, W] weight accumulator and
-    exp temporaries, roughly tripling the per-grid-step stack (measured:
-    B=8 direct call at (32, 720, wv=9) soft OOMs scoped VMEM at 46.05M vs
-    the hard kernel fitting the same shape) — quarter the cap so soft
-    calls chunk.
+    The SOFT blend shares the hard cap since its dv loop became a real
+    ``fori_loop`` (only wu unrolled bodies — see ``_match_body``): the
+    fully-unrolled variant tripled the per-grid-step stack (46.05 MB scoped
+    OOM at (32, 720, wv=9) B=8) and needed a quartered cap, whose chunked
+    lax.map then blew scoped VMEM inside the train step's jvp. Validated
+    on-chip: direct soft compiles at B=8 for (32, 720) and (64, 720) at
+    wv=9 wu=17 (docs/BENCH_NOTES.md r5).
     """
     anchor = sum(_row_bytes(64, 720, 5)) * 8
     rows = anchor // max(1, sum(_row_bytes(H, W, wv)))
-    cap = max(1, min(8, int(rows)))
-    if soft:
-        cap = max(1, cap // 4)
-    return cap
+    del soft
+    return max(1, min(8, int(rows)))
 
 
 @functools.partial(
