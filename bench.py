@@ -366,13 +366,32 @@ def main():
             float(jnp.max(jnp.abs(m_x.target_normals - m_p.target_normals))),
             float(jnp.max(jnp.abs(m_x.valid ^ m_p.valid))),
         )
+        # SOFT blend matcher (sigma 0.3 m): same dv-major/du-minor
+        # accumulation order in both backends, so the blended values agree
+        # to float-add noise (r5: the soft kernel's fori_loop restructure
+        # made it usable in-step — this row pins it every bench run).
+        sm_x = image_space_correspondence_batch(
+            s_xyz, s_occ, pb.image_1[:1], pb.normal_image_1[:1], pspec,
+            (5, 9), backend="xla", soft_sigma=0.3,
+        )
+        sm_p = image_space_correspondence_batch(
+            s_xyz, s_occ, pb.image_1[:1], pb.normal_image_1[:1], pspec,
+            (5, 9), backend="pallas", soft_sigma=0.3,
+        )
+        d_soft = max(
+            float(jnp.max(jnp.abs(sm_x.target_points - sm_p.target_points))),
+            float(jnp.max(jnp.abs(sm_x.target_normals - sm_p.target_normals))),
+            float(jnp.max(jnp.abs(sm_x.valid ^ sm_p.valid))),
+        )
         extra["pallas_parity_max_abs_diff"] = {
             "placement_packed": d_packed,
             "placement_compact": d_compact,
             "window_matcher": d_match,
+            "window_matcher_soft": d_soft,
         }
         log(f"pallas-vs-xla on-chip parity: placement_packed={d_packed} "
-            f"placement_compact={d_compact} window_matcher={d_match}")
+            f"placement_compact={d_compact} window_matcher={d_match} "
+            f"window_matcher_soft={d_soft}")
     except Exception as e:
         log(f"pallas parity check failed: {type(e).__name__}: {e}")
         extra["pallas_parity_max_abs_diff"] = None
@@ -443,6 +462,29 @@ def main():
             sync(m["loss"])
             el = time.time() - t0
             log(f"single-dispatch (fullcached+image): {K} steps x {B} pairs "
+                f"in {el:.2f}s -> {K * B / el:.2f} pairs/s "
+                f"({el / K * 1000:.1f} ms/step)")
+
+        if remaining() > 120:
+            # SOFT-match fullcached step (quality-recipe knob, sigma 0.3):
+            # after the r5 fori_loop restructure the auto backend compiles
+            # the Pallas soft kernel in-step — this records its throughput
+            # next to the hard headline (it used to silently fall back to
+            # the XLA loop exactly when quality runs wanted it).
+            scfg = cfg._replace(soft_match_sigma=0.3)
+            sstep = make_train_step_fullcached(model, scfg, donate=False)
+            t0 = time.time()
+            _, m = sstep(state, fbatch, jax.random.PRNGKey(10))
+            _, m = sstep(state, fbatch, jax.random.PRNGKey(11))
+            sync(m["loss"])
+            log(f"soft-match compile+warmup: {time.time() - t0:.1f}s; "
+                f"loss={float(m['loss']):.5f}")
+            t0 = time.time()
+            for k in range(K):
+                _, m = sstep(state, fbatch, jax.random.PRNGKey(600 + k))
+            sync(m["loss"])
+            el = time.time() - t0
+            log(f"soft-match (fullcached, sigma=0.3): {K} steps x {B} pairs "
                 f"in {el:.2f}s -> {K * B / el:.2f} pairs/s "
                 f"({el / K * 1000:.1f} ms/step)")
 
