@@ -465,3 +465,66 @@ def brute_force_correspondence(
     d = source_points - tgt_pts
     sq_out = jnp.where(valid, jnp.sum(d * d, axis=-1), jnp.inf)
     return Correspondence(tgt_pts, tgt_nrm, valid, sq_out)
+
+
+def window_match_indices(
+    src_xyz: jnp.ndarray,                # [H*W, 3] query points (per pixel)
+    src_occ: jnp.ndarray,                # [H*W] bool
+    cand_xyz_image: jnp.ndarray,         # [H, W, 3] candidate points
+    cand_occ_image: jnp.ndarray,         # [H, W] candidate occupancy
+    spec: ProjectionSpec,
+    window: Tuple[int, int] = (5, 9),
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Hard window match returning the winning OFFSET INDEX, not values.
+
+    Selection-only twin of :func:`image_space_correspondence_core` (same
+    dv-major/du-minor order, strict-< tie-break, vertical empty-pad, azimuth
+    wrap), for callers that need a DIFFERENTIABLE gather of the winner's
+    payload afterwards — e.g. the reverse (target -> warped-source) matching
+    direction, where the matched values depend on the predicted pose and
+    must carry gradient (the forward matcher detaches its carried values,
+    mirroring the reference's KD-index ``detach()``, icp_losses.py:64-67;
+    reverse matching has no reference counterpart).
+
+    Returns ``(best_k [HW] int32, best_sq [HW], valid [HW])`` where
+    ``best_k = dv * wu + du_idx`` indexes the window offsets; reconstruct
+    the winner's pixel as ``row = p // W + dv - wv//2`` (guaranteed in range
+    for valid winners — out-of-FoV rows are empty padding and never win),
+    ``col = (p % W + du_idx - wu//2) mod W``.
+    """
+    H, W = spec.height, spec.width
+    wv, wu = window
+    a, b = wv // 2, wu // 2
+    K = wv * wu
+
+    cand = jnp.concatenate(
+        [cand_xyz_image, cand_occ_image[..., None].astype(cand_xyz_image.dtype)],
+        axis=-1,
+    )                                                          # [H, W, 4]
+    cand_pad = jnp.pad(cand, ((a, a), (0, 0), (0, 0)))
+
+    src_sel = jax.lax.stop_gradient(src_xyz)
+    cand_pad = jax.lax.stop_gradient(cand_pad)
+
+    def body(k, carry):
+        best_sq, best_k = carry
+        dv = k // wu
+        du = k % wu - b
+        c = jax.lax.dynamic_slice(cand_pad, (dv, 0, 0), (H, W, 4))
+        c = jnp.roll(c, -du, axis=1).reshape(H * W, 4)
+        d = c[:, :3] - src_sel
+        sq = jnp.sum(d * d, axis=-1)
+        sq = jnp.where(c[:, 3] > 0.5, sq, jnp.inf)
+        better = sq < best_sq
+        return (
+            jnp.where(better, sq, best_sq),
+            jnp.where(better, k, best_k),
+        )
+
+    init = (
+        jnp.full((H * W,), jnp.inf, src_xyz.dtype),
+        jnp.zeros((H * W,), jnp.int32),
+    )
+    best_sq, best_k = jax.lax.fori_loop(0, K, body, init)
+    valid = src_occ & jnp.isfinite(best_sq)
+    return best_k, best_sq, valid

@@ -85,6 +85,15 @@ class StepConfig(NamedTuple):
     # removes the azimuth-column quantization ripple in the loss (r19 yaw
     # aliasing; ops/correspondence.py image_space_correspondence_core).
     soft_match_sigma: float = 0.0
+    # > 0: weight of the REVERSE point-to-plane term (image matcher only):
+    # every occupied TARGET pixel is matched against the warped-source
+    # image, and (t - s_match).n_s_match^2 is penalized with gradient
+    # flowing through the matched warped-source point/normal. Forward-only
+    # projective ICP can slide along self-similar structure (the r17-r19
+    # failure mode) because unexplained TARGET points cost nothing; the
+    # reverse term charges for them. No reference counterpart (the
+    # reference matches one direction only, icp_losses.py:34).
+    lambda_rev_po2pl: float = 0.0
 
     @classmethod
     def from_config(cls, config, dataset: str, *, supervised: bool):
@@ -104,6 +113,7 @@ class StepConfig(NamedTuple):
             matcher_backend=str(config.get("matcher_backend", "auto")),
             placement_backend=str(config.get("placement_backend", "auto")),
             soft_match_sigma=float(config.get("soft_match_sigma", 0.0)),
+            lambda_rev_po2pl=float(config.get("lambda_reverse_po2pl", 0.0)),
         )
 
 
@@ -226,6 +236,7 @@ def _loss_tail(
         deterministic=cfg.deterministic,
         rngs=None if cfg.deterministic else {"dropout": drop_rng},
     )
+    rev_po2pl = None                  # set by the image branch when enabled
 
     # Warp source points / rotate source normals by the predicted transform
     # (deployer.py:294-299).
@@ -306,6 +317,46 @@ def _loss_tail(
             soft_sigma=cfg.soft_match_sigma,
         )
         loss_src = (s_xyz, s_nrm, corr.valid)
+
+        if cfg.lambda_rev_po2pl > 0.0:
+            # REVERSE direction: match occupied TARGET pixels against the
+            # warped-source image. Selection is detached (index-only
+            # matcher); the winner's payload is re-gathered DIFFERENTIABLY
+            # from s_all so gradient reaches the pose through the matched
+            # warped point and rotated normal. This is the anti-sliding
+            # anchor: unexplained target structure now costs loss.
+            from delora_tpu.ops.correspondence import window_match_indices
+
+            Hd, Wd = cfg.proj.height, cfg.proj.width
+            wv, wu = cfg.window
+            t_xyz = image_1[..., 0:3].reshape(B, HW, 3)
+            t_occ = image_1[..., 3].reshape(B, HW) > 0.0
+            cand_xyz = jax.lax.stop_gradient(s_all[..., 0:3])
+            cand_occ = wimage[..., 6] > 0.5
+            k_r, sq_r, val_r = jax.vmap(
+                lambda q, qo, ci, co: window_match_indices(
+                    q, qo, ci, co, cfg.proj, cfg.window
+                )
+            )(t_xyz, t_occ, cand_xyz, cand_occ)
+            p = jnp.arange(HW)
+            row = jnp.clip(
+                p[None, :] // Wd + k_r // wu - wv // 2, 0, Hd - 1
+            )
+            col = jnp.mod(p[None, :] % Wd + k_r % wu - wu // 2, Wd)
+            win = row * Wd + col                           # [B, HW]
+            s_flat = s_all.reshape(B, HW, 7)
+            matched = jnp.take_along_axis(s_flat, win[..., None], axis=1)
+            s_m_xyz = matched[..., 0:3]
+            s_m_nrm = matched[..., 3:6]
+            ok = val_r & t_occ & jnp.any(s_m_nrm != 0.0, axis=-1)
+            if cfg.icp.trim_sq_distance > 0.0:
+                ok = ok & (sq_r <= cfg.icp.trim_sq_distance)
+            resid = jnp.sum((t_xyz - s_m_xyz) * s_m_nrm, axis=-1)
+            okf = ok.astype(resid.dtype)
+            per_sample_rev = jnp.sum(resid * resid * okf, axis=1) / (
+                jnp.maximum(jnp.sum(okf, axis=1), 1.0)
+            )
+            rev_po2pl = jnp.mean(per_sample_rev)
     else:
         if brute_target is None:
             raise ValueError(
@@ -324,6 +375,12 @@ def _loss_tail(
         *loss_src, corr
     )
     losses = {k: jnp.mean(v) for k, v in per_pair.items()}
+    if rev_po2pl is None:
+        rev_po2pl = jnp.zeros((), losses["loss_pc"].dtype)
+    else:
+        losses["loss_pc"] = (
+            losses["loss_pc"] + cfg.lambda_rev_po2pl * rev_po2pl
+        )
 
     # Supervised identity-fit warmup (deployer.py:324-336), batch-averaged.
     eye = jnp.eye(4, dtype=T.dtype)
@@ -346,6 +403,7 @@ def _loss_tail(
         "loss_po2po": losses["loss_po2po"],
         "loss_po2pl": losses["loss_po2pl"],
         "loss_pl2pl": losses["loss_pl2pl"],
+        "loss_po2pl_rev": rev_po2pl,
         "loss_identity": loss_identity,
         "num_po2pl_pairs": jnp.mean(
             per_pair["num_po2pl_pairs"].astype(jnp.float32)

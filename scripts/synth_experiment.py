@@ -67,6 +67,11 @@ def main():
     ap.add_argument("--soft", type=float, default=None,
                     help="soft_match_sigma in meters (softmax-blended "
                          "matching; kills the yaw quantization ripple)")
+    ap.add_argument("--reverse", type=float, default=None,
+                    help="lambda_reverse_po2pl: weight of the reverse "
+                         "(target -> warped-source) point-to-plane term — "
+                         "charges for unexplained target structure "
+                         "(anti-sliding anchor)")
     ap.add_argument("--trim", type=float, default=None,
                     help="po2pl_trim_distance (meters): reject matched pairs "
                          "with NN distance above this")
@@ -80,6 +85,10 @@ def main():
                     help="evaluate the trajectory metric every N epochs "
                          "(Trainer eval_every_epochs: in-training validation "
                          "+ best-state retention as a 'best/' checkpoint)")
+    ap.add_argument("--ckpt-every", type=int, default=None,
+                    help="checkpoint cadence in epochs (default 1; sweeps "
+                         "raise it — per-epoch Orbax writes dominate epoch "
+                         "wall time on a contended host)")
     ap.add_argument("--feed", default=None, choices=["full", "cached"],
                     help="training feed: 'full' = fullcached (default; "
                          "augment re-projects cached survivors on device), "
@@ -144,6 +153,8 @@ def main():
         overrides["projective_window"] = list(args.window)
     if args.trim is not None:
         overrides["po2pl_trim_distance"] = args.trim
+    if args.reverse is not None:
+        overrides["lambda_reverse_po2pl"] = args.reverse
     if args.soft is not None:
         overrides["soft_match_sigma"] = args.soft
     if args.seed is not None:
@@ -159,6 +170,8 @@ def main():
         overrides["eval_every_epochs"] = args.eval_every
     if args.feed == "cached":
         overrides["cache_source_projections"] = False
+    if args.ckpt_every is not None:
+        overrides["checkpoint_every_epochs"] = args.ckpt_every
     if args.small:
         overrides.update({"resnet_outputs": 128, "layers": [1, 1, 1, 1],
                           "factor_fewer_resnet_channels": 4})
