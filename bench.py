@@ -160,7 +160,10 @@ def main():
         optax_global_norm,
     )
 
-    KS = 8
+    # steps-per-dispatch K: env-sweepable (BENCH_KS=16/32 amortizes the
+    # ~1.0-1.6 ms relay dispatch gap to gap/K — docs/ROOFLINE.md). Default 8
+    # matches the trainer default and the seeded compile-cache entry.
+    KS = int(os.environ.get("BENCH_KS", 8))
     allarts = arts1 + arts2
     tables = (
         jnp.asarray(np.stack([a.image for a in allarts])),
@@ -216,6 +219,17 @@ def main():
         f" x {KS} steps x {B} pairs in {elapsed:.2f}s -> "
         f"{pairs_per_sec:.2f} pairs/s "
         f"({elapsed / (ND * KS) * 1000:.2f} ms/step)")
+
+    if os.environ.get("BENCH_HEADLINE_ONLY"):
+        # K-sweep mode: emit a minimal JSON line and stop (no latency /
+        # MFU / parity / augment probes — those don't depend on KS).
+        print(json.dumps({
+            "metric": "scan_pairs_per_sec_per_chip", "value":
+            round(pairs_per_sec, 3), "unit": "pairs/s",
+            "vs_baseline": round(pairs_per_sec / 10.0, 3),
+            "steps_per_dispatch": KS,
+        }), flush=True)
+        return
 
     # ---- Inference + serving latency (cheap small-program compiles, so they
     # run BEFORE the expensive diagnostic compiles and land in the JSON —

@@ -97,6 +97,11 @@ def main():
     ap.add_argument("--tag", default=None,
                     help="suffix for checkpoint/log dirs so multiple arms "
                          "share one workdir's raw + preprocessed data")
+    ap.add_argument("--prep-only", action="store_true",
+                    help="generate the world + preprocess, then exit (run "
+                         "this once under JAX_PLATFORMS=cpu so the TPU stays "
+                         "free for a concurrent job; subsequent arms skip "
+                         "straight to training)")
     args = ap.parse_args()
 
     from delora_tpu.config import load_config
@@ -183,6 +188,11 @@ def main():
     if len(glob.glob(os.path.join(pre_marker, "*.npy"))) < args.scans:
         print("[synth] preprocessing ...")
         Preprocessor(config).run_dataset("kitti", progress=True)
+
+    if args.prep_only:
+        print("[synth] prep-only: world + preprocessed data ready at",
+              args.workdir)
+        return
 
     config = load_config(overrides=overrides, mode="training")
     from delora_tpu.training.tester import Tester
