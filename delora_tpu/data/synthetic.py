@@ -249,6 +249,27 @@ def forward_trajectory(n_scans: int, step: float = 0.8, yaw_rate: float = 0.004
     return np.stack(poses)
 
 
+_GEN_CTX = None
+
+
+def _gen_init(ctx):
+    global _GEN_CTX
+    _GEN_CTX = ctx
+
+
+def _gen_scan(item):
+    """Render + write one scan (module-level for Pool pickling)."""
+    seq_dir, world, rings, azimuth_steps, seed = _GEN_CTX
+    k, pose = item
+    srng = np.random.default_rng((seed + 1, k))
+    pts = simulate_scan(world, pose, rings=rings,
+                        azimuth_steps=azimuth_steps, rng=srng)
+    intensity = srng.random((len(pts), 1), dtype=np.float32)
+    tmp = os.path.join(seq_dir, f".{k:06d}.bin.tmp")
+    np.concatenate([pts, intensity], axis=1).tofile(tmp)
+    os.replace(tmp, os.path.join(seq_dir, f"{k:06d}.bin"))
+
+
 def write_kitti_layout(
     out_dir: str,
     sequence: int = 0,
@@ -280,20 +301,37 @@ def write_kitti_layout(
         )
     else:
         world = make_world(seed=seed)
-    rng = np.random.default_rng(seed + 1)
 
     seq_dir = os.path.join(out_dir, "sequences", f"{sequence:02d}", "velodyne")
     pose_dir = os.path.join(out_dir, "poses")
     os.makedirs(seq_dir, exist_ok=True)
     os.makedirs(pose_dir, exist_ok=True)
 
-    for k, pose in enumerate(traj):
-        pts = simulate_scan(world, pose, rings=rings,
-                            azimuth_steps=azimuth_steps, rng=rng)
-        intensity = rng.random((len(pts), 1), dtype=np.float32)
-        np.concatenate([pts, intensity], axis=1).tofile(
-            os.path.join(seq_dir, f"{k:06d}.bin")
-        )
+    # Per-scan seeding (rng is deterministic in (seed, k), independent of
+    # worker count or completion order) makes generation embarrassingly
+    # parallel AND resumable: scans whose .bin already exists are skipped, so
+    # an interrupted long-world generation continues where it left off.
+    todo = [
+        (k, pose) for k, pose in enumerate(traj)
+        if not os.path.exists(os.path.join(seq_dir, f"{k:06d}.bin"))
+    ]
+
+    ctx = (seq_dir, world, rings, azimuth_steps, seed)
+    n_workers = min(os.cpu_count() or 1, max(1, len(todo)))
+    if n_workers > 1 and len(todo) > 8:
+        # fork start method: workers inherit the world via the initializer
+        # global (no per-task pickling of the ~1000-segment world).
+        from multiprocessing import get_context
+
+        with get_context("fork").Pool(
+            n_workers, initializer=_gen_init, initargs=(ctx,)
+        ) as pool:
+            for _ in pool.imap_unordered(_gen_scan, todo, chunksize=8):
+                pass
+    else:
+        _gen_init(ctx)
+        for item in todo:
+            _gen_scan(item)
 
     L = TRANSFORM_LIDAR_TO_WORLD
     with open(os.path.join(pose_dir, f"{sequence:02d}.txt"), "w") as f:
