@@ -47,6 +47,7 @@ class ModelConfig(NamedTuple):
     compute_dtype: Any = jnp.float32
     in_channels_per_image: int = 4
     remat: bool = False     # rematerialize ResNet blocks (pod configs)
+    stage_width_multipliers: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
 
     @classmethod
     def from_config(cls, config):
@@ -64,6 +65,11 @@ class ModelConfig(NamedTuple):
             quaternion_normalization=str(config["quaternion_normalization"]),
             compute_dtype=dtype,
             remat=bool(config.get("remat", False)),
+            stage_width_multipliers=tuple(
+                float(m) for m in config.get(
+                    "resnet_stage_width_multipliers", (1.0, 1.0, 1.0, 1.0)
+                )
+            ),
         )
 
 
@@ -134,6 +140,7 @@ class OdometryModel(nn.Module):
             num_outputs=cfg.resnet_outputs,
             blocks_per_stage=cfg.blocks_per_stage,
             channel_divisor=cfg.channel_divisor,
+            stage_width_multipliers=cfg.stage_width_multipliers,
             activation=cfg.activation,
             use_dropout=cfg.use_dropout,
             compute_dtype=cfg.compute_dtype,

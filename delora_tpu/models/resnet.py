@@ -125,6 +125,13 @@ class CircularResNet(nn.Module):
     num_outputs: int = 1000
     blocks_per_stage: Sequence[int] = (2, 2, 2, 2)
     channel_divisor: int = 1              # factor_fewer_resnet_channels
+    # Per-stage width multipliers on the (64, 128, 256, 512) torchvision
+    # widths. Beyond-reference capacity knob, measured nearly time-free for
+    # stage 1 on TPU: 64-channel convs fill half a 128-lane MXU tile, so
+    # (2, 1, 1, 1) buys 4x stage-1 FLOP capacity for ~+0.4 ms/step at the
+    # KITTI bench shape (scripts/conv_experiment.py, docs/BENCH_NOTES.md r5).
+    # Default (1, 1, 1, 1) keeps reference-checkpoint width compatibility.
+    stage_width_multipliers: Sequence[float] = (1.0, 1.0, 1.0, 1.0)
     activation: str = "tanh"
     use_dropout: bool = False
     compute_dtype: Any = jnp.float32
@@ -133,7 +140,10 @@ class CircularResNet(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True) -> List[jnp.ndarray]:
         act = _act(self.activation)
-        widths = [int(c / self.channel_divisor) for c in (64, 128, 256, 512)]
+        widths = [
+            int(c * m / self.channel_divisor)
+            for c, m in zip((64, 128, 256, 512), self.stage_width_multipliers)
+        ]
         stage_strides = [(1, 1), (1, 2), (1, 2), (2, 2)]
 
         if self.use_dropout:

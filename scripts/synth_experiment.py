@@ -97,6 +97,11 @@ def main():
     ap.add_argument("--tag", default=None,
                     help="suffix for checkpoint/log dirs so multiple arms "
                          "share one workdir's raw + preprocessed data")
+    ap.add_argument("--widths", type=float, nargs=4, default=None,
+                    metavar=("M1", "M2", "M3", "M4"),
+                    help="resnet_stage_width_multipliers: per-stage width "
+                         "multipliers ([2,1,1,1] quadruples stage-1 MXU "
+                         "capacity for ~+0.4 ms/step — conv_experiment.py)")
     ap.add_argument("--prep-only", action="store_true",
                     help="generate the world + preprocess, then exit (run "
                          "this once under JAX_PLATFORMS=cpu so the TPU stays "
@@ -177,6 +182,8 @@ def main():
         overrides["cache_source_projections"] = False
     if args.ckpt_every is not None:
         overrides["checkpoint_every_epochs"] = args.ckpt_every
+    if args.widths:
+        overrides["resnet_stage_width_multipliers"] = list(args.widths)
     if args.small:
         overrides.update({"resnet_outputs": 128, "layers": [1, 1, 1, 1],
                           "factor_fewer_resnet_channels": 4})

@@ -129,3 +129,28 @@ def test_remat_model_matches_non_remat():
     assert float(l0) == float(l1)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stage_width_multipliers():
+    """resnet_stage_width_multipliers scales per-stage conv widths (TPU MXU
+    lane-fill capacity knob — docs/BENCH_NOTES.md r5 conv experiment) while
+    the default (1,1,1,1) keeps the reference-compatible param tree."""
+    cfg = small_cfg(stage_width_multipliers=(2.0, 1.0, 1.0, 1.0))
+    _, params, _, (t, q) = init_and_apply(cfg)
+    assert t.shape == (2, 3) and q.shape == (2, 4)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    # channel_divisor=8 -> base stage-1 width 8; multiplier 2 -> 16.
+    stem_kernels = [
+        v.shape for p, v in flat
+        if "BasicBlock_0" in str(p) and v.ndim == 4
+    ]
+    assert any(s[-1] == 16 for s in stem_kernels), stem_kernels
+
+    # Default multipliers reproduce the original widths exactly.
+    base = small_cfg()
+    _, params_base, _, _ = init_and_apply(base)
+    shapes = jax.tree.map(lambda v: v.shape, params_base)
+    _, params_one, _, _ = init_and_apply(
+        small_cfg(stage_width_multipliers=(1.0, 1.0, 1.0, 1.0))
+    )
+    assert shapes == jax.tree.map(lambda v: v.shape, params_one)
