@@ -434,7 +434,18 @@ def brute_force_correspondence(
     if use_pallas:
         from delora_tpu.ops.pallas.nn_search import nn_search_pallas
 
-        idx, sq = nn_search_pallas(source_points, target_points, target_valid)
+        # Detach the kernel INPUTS: the search is index-selection only (the
+        # reference detaches its KD indices the same way, icp_losses.py:64-67)
+        # and the Pallas kernel has no VJP rule — with live tangents on the
+        # warped source points, linearizing a training step through
+        # pallas_call raised "Linearization failed" (use_pallas_nn: true was
+        # untrainable until r5). The differentiable distance is recomputed
+        # from the gathered winners below (sq_out).
+        idx, sq = nn_search_pallas(
+            jax.lax.stop_gradient(source_points),
+            jax.lax.stop_gradient(target_points),
+            target_valid,
+        )
     else:
         S = source_points.shape[0]
         pad = (-S) % tile
@@ -455,7 +466,11 @@ def brute_force_correspondence(
         idx = idx_t.reshape(-1)[:S]
         sq = sq_t.reshape(-1)[:S]
 
+    # The search is detached (reference detaches its KD indices the same
+    # way, icp_losses.py:64-67); sq only gates validity below and the
+    # differentiable distance is recomputed as sq_out.
     idx = jax.lax.stop_gradient(idx)
+    sq = jax.lax.stop_gradient(sq)
     any_target = jnp.any(target_valid)
     valid = source_valid & any_target & jnp.isfinite(sq)
     tgt_pts = jnp.where(valid[:, None], target_points[idx], 0.0)

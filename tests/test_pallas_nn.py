@@ -140,3 +140,30 @@ def test_window_match_pallas_batch_chunking():
     )
     for a, b in zip(whole, chunked):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_vmap_batched_kernel_matches_per_sample():
+    """jax.vmap over nn_search_pallas routes to the natively-batched kernel
+    (custom_vmap; the default vmap lift produced un-lowerable (1, tile_s)
+    output blocks — broken until r5). Batched results must equal per-sample
+    single-kernel results, including all-invalid-target batches."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from delora_tpu.ops.pallas.nn_search import nn_search_pallas
+
+    rng = np.random.default_rng(3)
+    B, S, T = 3, 700, 900
+    src = jnp.asarray(rng.normal(size=(B, S, 3)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(B, T, 3)), jnp.float32)
+    valid = jnp.asarray(rng.random((B, T)) < 0.8)
+    valid = valid.at[2].set(False)          # one batch with no valid targets
+
+    fn = lambda s, t, v: nn_search_pallas(s, t, v, interpret=True)
+    idx_b, sq_b = jax.vmap(fn)(src, tgt, valid)
+    for b in range(B):
+        idx_1, sq_1 = fn(src[b], tgt[b], valid[b])
+        np.testing.assert_array_equal(np.asarray(idx_b[b]), np.asarray(idx_1))
+        np.testing.assert_allclose(np.asarray(sq_b[b]), np.asarray(sq_1),
+                                   rtol=1e-6)
