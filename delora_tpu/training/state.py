@@ -7,7 +7,7 @@ rule (lr * global_batch / base_batch) is exposed via config ``lr_scaling``.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, NamedTuple, Optional
 
 import jax
 import optax
@@ -16,6 +16,68 @@ from flax.training import train_state
 
 class TrainState(train_state.TrainState):
     """Standard flax TrainState; kept as a named subclass for checkpoints."""
+
+
+class EmaState(NamedTuple):
+    """Polyak-averaged parameters, tracked inside the optimizer state so the
+    K-steps-per-dispatch scan, Orbax checkpoints and multi-host replication
+    all carry it with zero extra plumbing."""
+
+    ema: Any
+
+
+def track_param_ema(decay: float) -> optax.GradientTransformation:
+    """Append-to-chain transform maintaining an EMA of the PARAMETERS.
+
+    Placed last in the chain it sees the final updates, so the post-step
+    parameters are ``params + updates`` and
+    ``ema <- decay * ema + (1 - decay) * (params + updates)``.
+
+    Motivation (r5, 880 m synthetic world): the pose basin of the
+    self-supervised ICP objective is FLAT along weakly-observed directions —
+    the trained trajectory random-walks across epochs while the loss sits at
+    its floor (t_rel staged evals oscillate 15->85%; docs/BENCH_NOTES.md).
+    An EMA over ~the last thousand steps centers that walk instead of
+    sampling a lottery endpoint. The reference has no counterpart (it
+    evaluates the final iterate; src/deploy/trainer.py).
+    """
+
+    def init_fn(params):
+        return EmaState(ema=jax.tree.map(lambda p: p, params))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("track_param_ema requires params")
+        new_ema = jax.tree.map(
+            lambda e, p, u: decay * e + (1.0 - decay) * (p + u),
+            state.ema, params, updates,
+        )
+        return updates, EmaState(ema=new_ema)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def ema_params(state: TrainState) -> Optional[Any]:
+    """The EMA parameter tree carried in ``state.opt_state``, or None if EMA
+    tracking is off. Works for chained/nested optimizer states."""
+    found = []
+
+    def walk(s):
+        if isinstance(s, EmaState):
+            found.append(s.ema)
+        elif isinstance(s, tuple):
+            for item in s:
+                walk(item)
+
+    walk(state.opt_state)
+    return found[0] if found else None
+
+
+def deploy_state(state: TrainState) -> TrainState:
+    """The state to evaluate/serve: EMA parameters substituted when tracked
+    (see track_param_ema), else the state unchanged."""
+    ema = ema_params(state)
+    return state if ema is None else state.replace(params=ema)
 
 
 def effective_learning_rate(config, global_batch_size: int) -> float:
@@ -49,6 +111,11 @@ def make_optimizer(config, global_batch_size: int) -> optax.GradientTransformati
     # dispatch dominates.
     if config.get("fused_adam", False):
         tx = optax.flatten(tx)
+    # Parameter EMA (ema_decay > 0): tracked last in the chain so it sees
+    # the final updates. The flat-basin stabilizer — see track_param_ema.
+    decay = float(config.get("ema_decay", 0.0))
+    if decay > 0.0:
+        tx = optax.chain(tx, track_param_ema(decay))
     return tx
 
 

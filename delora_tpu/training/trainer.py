@@ -237,6 +237,15 @@ class Trainer:
         # In-training eval + best-state retention (eval_every_epochs).
         self.best_eval: Optional[tuple] = None   # (score, epoch)
 
+    @property
+    def eval_state(self):
+        """The state to EVALUATE/DEPLOY: with ``ema_decay > 0`` the Polyak-
+        averaged parameters replace the last iterate (the flat-basin wander
+        stabilizer — state.track_param_ema); otherwise the live state."""
+        from delora_tpu.training.state import deploy_state
+
+        return deploy_state(self.state)
+
     def evaluate(self, epoch: int) -> Optional[float]:
         """Run the Tester's trajectory metric on the TESTING identifiers with
         the current parameters; keep the best state as a ``best/`` checkpoint.
@@ -263,7 +272,7 @@ class Trainer:
             spec = dict(cfg_t[name])
             spec["data_identifiers"] = list(spec["testing_identifiers"])
             cfg_t[name] = spec
-        tester = Tester(cfg_t, state=self.state,
+        tester = Tester(cfg_t, state=self.eval_state,
                         run_name=f"{self.run_name}_eval_ep{epoch:04d}")
         results = tester.test()
         vals = [m[0] for seqs in results.values() for m in seqs.values() if m]

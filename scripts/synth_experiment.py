@@ -97,6 +97,10 @@ def main():
     ap.add_argument("--tag", default=None,
                     help="suffix for checkpoint/log dirs so multiple arms "
                          "share one workdir's raw + preprocessed data")
+    ap.add_argument("--ema", type=float, default=None,
+                    help="ema_decay: Polyak-average the parameters and "
+                         "evaluate the average (the flat-basin wander "
+                         "stabilizer; try 0.999)")
     ap.add_argument("--widths", type=float, nargs=4, default=None,
                     metavar=("M1", "M2", "M3", "M4"),
                     help="resnet_stage_width_multipliers: per-stage width "
@@ -182,6 +186,8 @@ def main():
         overrides["cache_source_projections"] = False
     if args.ckpt_every is not None:
         overrides["checkpoint_every_epochs"] = args.ckpt_every
+    if args.ema is not None:
+        overrides["ema_decay"] = args.ema
     if args.widths:
         overrides["resnet_stage_width_multipliers"] = list(args.widths)
     if args.small:
@@ -213,8 +219,13 @@ def main():
     # testing identifiers, best state kept as a 'best/' checkpoint).
     trainer.train(max_epochs=args.epochs)
 
-    # FINAL-EPOCH evaluation — the headline number (no selection).
-    tester = Tester(config_t, state=trainer.state, run_name="synth_eval")
+    # FINAL-EPOCH evaluation — the headline number (no selection). With
+    # --ema this evaluates the Polyak-averaged parameters (deploy_state):
+    # still selection-free (the average is over the whole run, not picked
+    # by validation score).
+    from delora_tpu.training.state import deploy_state
+
+    tester = Tester(config_t, state=trainer.eval_state, run_name="synth_eval")
     results = tester.test()
     print("[synth] results (final epoch):", results)
 
@@ -225,7 +236,8 @@ def main():
         print(f"[synth] best validated state: score={score:.3f} @ epoch {ep}")
         best_state, _ = trainer.ckpt.restore(trainer.state, "best")
         best_results = Tester(
-            config_t, state=best_state, run_name="synth_eval_best"
+            config_t, state=deploy_state(best_state),
+            run_name="synth_eval_best"
         ).test()
         print("[synth] results (best checkpoint):", best_results)
 

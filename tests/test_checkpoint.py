@@ -131,3 +131,57 @@ def test_cosine_schedule_decays_lr():
         params = jax.tree.map(lambda p, u: p + u, params, updates)
     assert sizes[-1] < 0.2 * sizes[0]      # decayed near the end
     np.testing.assert_allclose(sizes[0], 1e-2, rtol=0.2)  # starts at base lr
+
+
+def test_param_ema_tracking_and_deploy_state():
+    """ema_decay > 0 chains track_param_ema: opt_state carries a Polyak
+    average of the post-step parameters; deploy_state()/Trainer.eval_state
+    substitute it; ema_decay=0 leaves the tree untouched (r5 flat-basin
+    stabilizer, training/state.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from delora_tpu.models.odometry import ModelConfig, OdometryModel
+    from delora_tpu.training.state import (
+        create_train_state, deploy_state, ema_params,
+    )
+
+    model = OdometryModel(ModelConfig(
+        resnet_outputs=16, blocks_per_stage=(1, 1, 1, 1), channel_divisor=16,
+    ))
+    imgs = jnp.zeros((2, 16, 64, 4))
+    decay = 0.5
+    state = create_train_state(
+        model, {"learning_rate": 0.1, "ema_decay": decay}, imgs
+    )
+    assert ema_params(state) is not None
+
+    # EMA starts equal to params.
+    p0 = state.params
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(ema_params(state))[0]),
+        np.asarray(jax.tree.leaves(p0)[0]),
+    )
+
+    grads = jax.tree.map(jnp.ones_like, state.params)
+    s1 = state.apply_gradients(grads=grads)
+    # Manual expectation: ema1 = decay*p0 + (1-decay)*p1 for every leaf.
+    for e, a, b in zip(jax.tree.leaves(ema_params(s1)),
+                       jax.tree.leaves(p0), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(
+            np.asarray(e), decay * np.asarray(a) + (1 - decay) * np.asarray(b),
+            rtol=1e-6, atol=1e-7,
+        )
+
+    # deploy_state substitutes the EMA tree; params themselves unchanged.
+    d = deploy_state(s1)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(d.params)[0]),
+        np.asarray(jax.tree.leaves(ema_params(s1))[0]),
+    )
+
+    # Off by default: no EMA in the tree, deploy_state is the identity.
+    state_off = create_train_state(model, {"learning_rate": 0.1}, imgs)
+    assert ema_params(state_off) is None
+    assert deploy_state(state_off) is state_off
