@@ -160,10 +160,11 @@ def main():
         optax_global_norm,
     )
 
-    # steps-per-dispatch K: env-sweepable (BENCH_KS=16/32 amortizes the
-    # ~1.0-1.6 ms relay dispatch gap to gap/K — docs/ROOFLINE.md). Default 8
-    # matches the trainer default and the seeded compile-cache entry.
-    KS = int(os.environ.get("BENCH_KS", 8))
+    # steps-per-dispatch K: env-sweepable (BENCH_KS; the K sweep amortizes
+    # the ~1.0-1.6 ms relay dispatch gap to gap/K — docs/ROOFLINE.md).
+    # Default 32 matches the trainer default (deployment.yaml; r5 sweep:
+    # 643 pairs/s vs 606 at K=8 in the same session).
+    KS = int(os.environ.get("BENCH_KS", 32))
     allarts = arts1 + arts2
     tables = (
         jnp.asarray(np.stack([a.image for a in allarts])),
