@@ -82,7 +82,10 @@ class StreamingOdometry:
                 state, _ = mgr.restore(
                     state, os.path.basename(checkpoint.rstrip("/"))
                 )
-        self.params = state.params
+        # EMA-trained checkpoints deploy the Polyak average (state.py).
+        from delora_tpu.training.state import deploy_state
+
+        self.params = deploy_state(state).params
 
         # Each scan is projected exactly ONCE: the projected image stays on
         # device and is reused as img_prev at the next push (the reference

@@ -55,6 +55,10 @@ class Tester:
             ckpt_dir = config["checkpoint"]
             mgr = CheckpointManager(os.path.dirname(ckpt_dir.rstrip("/")) or ".")
             state, _ = mgr.restore(state, os.path.basename(ckpt_dir.rstrip("/")))
+            # EMA-trained checkpoints evaluate the Polyak average (state.py).
+            from delora_tpu.training.state import deploy_state
+
+            state = deploy_state(state)
         self.state = state
 
         self.logger = MetricsLogger(
