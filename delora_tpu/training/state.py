@@ -43,7 +43,11 @@ def track_param_ema(decay: float) -> optax.GradientTransformation:
     """
 
     def init_fn(params):
-        return EmaState(ema=jax.tree.map(lambda p: p, params))
+        # REAL copies, not aliases: tx.init runs eagerly in create_train_state,
+        # so `lambda p: p` would alias the ema leaves to the param buffers and
+        # the first donated dispatch fails with "Attempt to donate the same
+        # buffer twice" (tests/test_checkpoint.py covers the donated path).
+        return EmaState(ema=jax.tree.map(lambda p: p + 0, params))
 
     def update_fn(updates, state, params=None):
         if params is None:

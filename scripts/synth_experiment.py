@@ -229,6 +229,17 @@ def main():
     results = tester.test()
     print("[synth] results (final epoch):", results)
 
+    # EMA runs: ALSO evaluate the RAW final iterate. The EMA transform does
+    # not alter the parameter trajectory (its update_fn passes updates
+    # through), so this raw number is exactly what the same recipe WITHOUT
+    # --ema would have produced — every EMA arm doubles as its own non-EMA
+    # control.
+    if trainer.eval_state is not trainer.state:
+        raw_results = Tester(
+            config_t, state=trainer.state, run_name="synth_eval_raw"
+        ).test()
+        print("[synth] results (final epoch, raw non-EMA):", raw_results)
+
     # If in-training validation ran, ALSO evaluate the retained best state
     # (what a user deploying from this run would actually pick).
     if trainer.best_eval is not None:

@@ -185,3 +185,32 @@ def test_param_ema_tracking_and_deploy_state():
     state_off = create_train_state(model, {"learning_rate": 0.1}, imgs)
     assert ema_params(state_off) is None
     assert deploy_state(state_off) is state_off
+
+
+def test_param_ema_survives_donated_dispatch():
+    """Regression: EmaState.init must COPY the params — aliased leaves made
+    the first donated training dispatch fail with 'Attempt to donate the
+    same buffer twice' (r5 emaaug arm crash)."""
+    import jax
+    import jax.numpy as jnp
+
+    from delora_tpu.models.odometry import ModelConfig, OdometryModel
+    from delora_tpu.training.state import create_train_state
+
+    model = OdometryModel(ModelConfig(
+        resnet_outputs=16, blocks_per_stage=(1, 1, 1, 1), channel_divisor=16,
+    ))
+    imgs = jnp.zeros((2, 16, 64, 4))
+    state = create_train_state(
+        model, {"learning_rate": 0.1, "ema_decay": 0.9}, imgs
+    )
+
+    @jax.jit
+    def step(state):
+        grads = jax.tree.map(jnp.ones_like, state.params)
+        return state.apply_gradients(grads=grads)
+
+    donated = jax.jit(step, donate_argnums=0)
+    state = donated(state)          # would raise on aliased ema buffers
+    state = donated(state)
+    assert state.step == 2
