@@ -154,6 +154,11 @@ def _match_kernel_tiled(src_ref, tgt_ref, sq_ref, xyz_ref, nrm_ref, *,
 # errors below report overruns against ~16 MB).
 _VMEM_BUDGET = 16 * 1024 * 1024
 
+# (H, W) families whose DIRECT B=8 call has compiled on the real chip
+# (docs/BENCH_NOTES.md r5); elsewhere max_batch_for_shape applies the
+# conservative staging bound.
+_VALIDATED_DIRECT_SHAPES = {(64, 720), (32, 720)}
+
 
 def _row_bytes(H: int, W: int, wv: int, wu: int = 9, wt: int = None) -> tuple:
     """Per-batch-row VMEM bytes: (operands, outputs) of one grid step.
@@ -222,6 +227,17 @@ def max_batch_for_shape(H: int, W: int, wv: int, soft: bool = False) -> int:
     """
     anchor = sum(_row_bytes(64, 720, 5)) * 8
     rows = anchor // max(1, sum(_row_bytes(H, W, wv)))
+    # Outside the on-chip-VALIDATED width family the anchor scaling is NOT
+    # trustworthy: XLA's scoped-VMEM staging is shape-dependent in ways the
+    # row-byte model misses — at (64, 512, wv=9) B=8 the anchor formula
+    # allowed a direct call whose staging measured 39.34 MB against the
+    # 16 MB stack (r5 multires crash: one output tuple element was placed
+    # in VMEM space at W=512 where the W=720 family spills to HBM). For
+    # unvalidated shapes, bound rows by the OBSERVED worst-case staging
+    # ratio (39.34M / 8 rows / row_bytes(64,512,9) ~ 2.2x row bytes).
+    if (H, W) not in _VALIDATED_DIRECT_SHAPES:
+        staged = 2.2 * sum(_row_bytes(H, W, wv))
+        rows = min(rows, int(_VMEM_BUDGET // max(1.0, staged)))
     del soft
     return max(1, min(8, int(rows)))
 

@@ -319,3 +319,20 @@ def test_soft_match_pallas_matches_xla():
         np.asarray(cp.target_normals), np.asarray(cx.target_normals),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_max_batch_conservative_outside_validated_shapes():
+    """r5 multires crash: at (64, 512, wv=9) the anchor scaling allowed a
+    direct B=8 pallas call whose XLA scoped-VMEM staging measured 39.34 MB
+    against the 16 MB stack. Unvalidated (H, W) shapes must fall back to the
+    observed-staging bound (~2.2x row bytes); the validated 720-wide family
+    keeps the anchor-derived cap."""
+    from delora_tpu.ops.pallas.window_match import max_batch_for_shape
+
+    # Validated family unchanged: full 8-row direct calls.
+    assert max_batch_for_shape(64, 720, 5) == 8
+    assert max_batch_for_shape(32, 720, 9) == 8
+    # The crash shape: 39.34M staging / 16M limit -> at most 3 rows.
+    assert max_batch_for_shape(64, 512, 9) <= 3
+    # Tiny shapes still allow the full cap (staging bound is generous).
+    assert max_batch_for_shape(16, 64, 5) == 8
