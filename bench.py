@@ -381,32 +381,40 @@ def main():
             float(jnp.max(jnp.abs(m_x.target_normals - m_p.target_normals))),
             float(jnp.max(jnp.abs(m_x.valid ^ m_p.valid))),
         )
-        # SOFT blend matcher (sigma 0.3 m): same dv-major/du-minor
-        # accumulation order in both backends, so the blended values agree
-        # to float-add noise (r5: the soft kernel's fori_loop restructure
-        # made it usable in-step — this row pins it every bench run).
-        sm_x = image_space_correspondence_batch(
-            s_xyz, s_occ, pb.image_1[:1], pb.normal_image_1[:1], pspec,
-            (5, 9), backend="xla", soft_sigma=0.3,
-        )
-        sm_p = image_space_correspondence_batch(
-            s_xyz, s_occ, pb.image_1[:1], pb.normal_image_1[:1], pspec,
-            (5, 9), backend="pallas", soft_sigma=0.3,
-        )
-        d_soft = max(
-            float(jnp.max(jnp.abs(sm_x.target_points - sm_p.target_points))),
-            float(jnp.max(jnp.abs(sm_x.target_normals - sm_p.target_normals))),
-            float(jnp.max(jnp.abs(sm_x.valid ^ sm_p.valid))),
-        )
         extra["pallas_parity_max_abs_diff"] = {
             "placement_packed": d_packed,
             "placement_compact": d_compact,
             "window_matcher": d_match,
-            "window_matcher_soft": d_soft,
         }
         log(f"pallas-vs-xla on-chip parity: placement_packed={d_packed} "
-            f"placement_compact={d_compact} window_matcher={d_match} "
-            f"window_matcher_soft={d_soft}")
+            f"placement_compact={d_compact} window_matcher={d_match}")
+
+        # SOFT blend matcher (sigma 0.3 m): its OWN try so a Mosaic failure
+        # cannot null the three stable rows above (r5: the forced-pallas
+        # soft kernel at (64,720,w5x9) hits a remote Mosaic compile error;
+        # the auto path routes soft through the XLA matcher on every
+        # platform — see ops/correspondence.py — so this row is
+        # informational, not a product-path gate).
+        try:
+            sm_x = image_space_correspondence_batch(
+                s_xyz, s_occ, pb.image_1[:1], pb.normal_image_1[:1], pspec,
+                (5, 9), backend="xla", soft_sigma=0.3,
+            )
+            sm_p = image_space_correspondence_batch(
+                s_xyz, s_occ, pb.image_1[:1], pb.normal_image_1[:1], pspec,
+                (5, 9), backend="pallas", soft_sigma=0.3,
+            )
+            d_soft = max(
+                float(jnp.max(jnp.abs(
+                    sm_x.target_points - sm_p.target_points))),
+                float(jnp.max(jnp.abs(
+                    sm_x.target_normals - sm_p.target_normals))),
+                float(jnp.max(jnp.abs(sm_x.valid ^ sm_p.valid))),
+            )
+            extra["pallas_parity_max_abs_diff"]["window_matcher_soft"] = d_soft
+            log(f"pallas-vs-xla soft-matcher parity: {d_soft}")
+        except Exception as e:  # noqa: BLE001
+            log(f"soft-matcher pallas parity unavailable: {e!r:.200}")
     except Exception as e:
         log(f"pallas parity check failed: {type(e).__name__}: {e}")
         extra["pallas_parity_max_abs_diff"] = None

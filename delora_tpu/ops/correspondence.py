@@ -392,12 +392,22 @@ def image_space_correspondence_batch(
         return _xla()
     if backend == "auto":
         from delora_tpu.ops.pallas.window_match import (
-            fits_vmem, tile_width_for,
+            _VALIDATED_DIRECT_SHAPES, fits_vmem, tile_width_for,
         )
 
         if not fits_vmem(spec.height, spec.width, window[0]) and (
             tile_width_for(spec.height, spec.width, window[0], window[1]) == 0
         ):
+            return _xla()
+        if (spec.height, spec.width) not in _VALIDATED_DIRECT_SHAPES:
+            # Outside the chip-validated shape family XLA's scoped-VMEM
+            # staging of the pallas call is unpredictable: at 64x512 it
+            # stack-allocated the call outputs (39.3M direct, 37.7M even
+            # with 1-row lax.map chunks whose stacked output it ALSO placed
+            # in VMEM) against the 16M limit — r5 multires crash, twice.
+            # auto routes these shapes through the XLA matcher (the r1-r3
+            # default, ~2x the matcher ms — a few % of the step); explicit
+            # backend="pallas" remains available for validated new sensors.
             return _xla()
         # Resolved at LOWERING time per target platform: only the branch for
         # the platform being compiled is lowered (the pallas kernel never

@@ -35,8 +35,9 @@ def _nn_kernel(src_ref, tgt_ref, idx_ref, sq_ref, *, tile_t: int, num_t: int):
     src_ref: [TILE_S, 4] (xyz + |s|^2 in column 3)
     tgt_ref: [4, T] (or [1, 4, T] in the batched layout) — xyz rows +
              (|t|^2 or BIG) bias row
-    idx_ref: [TILE_S]    argmin output (int32)
-    sq_ref:  [TILE_S]    min squared distance output (f32)
+    idx_ref: [TILE_S, 1] argmin output (int32; rank-2 — Mosaic lowers 2D
+             vector stores reliably where rank-1 output refs hit edge cases)
+    sq_ref:  [TILE_S, 1] min squared distance output (f32)
     """
     if tgt_ref.ndim == 3:            # batched layout: squeeze the batch block
         tgt_ref = tgt_ref.at[0]
@@ -61,8 +62,8 @@ def _nn_kernel(src_ref, tgt_ref, idx_ref, sq_ref, *, tile_t: int, num_t: int):
     init = (jnp.full((tile_s,), BIG, jnp.float32),
             jnp.zeros((tile_s,), jnp.int32))
     best_sq, best_idx = jax.lax.fori_loop(0, num_chunks, body, init)
-    idx_ref[:] = best_idx
-    sq_ref[:] = best_sq
+    idx_ref[:, 0] = best_idx
+    sq_ref[:, 0] = best_sq
 
 
 @functools.lru_cache(maxsize=None)
@@ -151,20 +152,20 @@ def _nn_search_single(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_s,), lambda i: (i,),
+            pl.BlockSpec((tile_s, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_s,), lambda i: (i,),
+            pl.BlockSpec((tile_s, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Sp,), jnp.int32),
-            jax.ShapeDtypeStruct((Sp,), jnp.float32),
+            jax.ShapeDtypeStruct((Sp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Sp, 1), jnp.float32),
         ],
         interpret=interpret,
     )(src4, tgt4)
 
-    idx = jnp.clip(idx[:S], 0, T - 1)
-    return idx, sq[:S]
+    idx = jnp.clip(idx[:S, 0], 0, T - 1)
+    return idx, sq[:S, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_s", "tile_t", "interpret"))
@@ -214,14 +215,14 @@ def _nn_search_batched(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_s,), lambda i: (i,),
+            pl.BlockSpec((tile_s, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_s,), lambda i: (i,),
+            pl.BlockSpec((tile_s, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B * Sp,), jnp.int32),
-            jax.ShapeDtypeStruct((B * Sp,), jnp.float32),
+            jax.ShapeDtypeStruct((B * Sp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B * Sp, 1), jnp.float32),
         ],
         interpret=interpret,
     )(src4, tgt4)
